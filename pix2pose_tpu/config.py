@@ -1,0 +1,156 @@
+"""Typed configuration for the pix2pose_tpu pipeline.
+
+One dataclass-based config system replaces the reference's positional
+``sys.argv`` + JSON-in-``cfg/`` scheme (reference: ``cfg/cfg_bop2020.json``,
+consumed at ``tools/5_evaluation_bop_basic.py:34-110,164-170``). Every knob of
+the reference is preserved under the same name so reference configs load
+unchanged via :func:`load_eval_config`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Sequence
+
+
+@dataclasses.dataclass(frozen=True)
+class EstimatorConfig:
+    """Per-object pose-estimator knobs.
+
+    Mirrors the constructor arguments of the reference estimator
+    (``pix2pose_model/recognition.py:10-26``).
+    """
+
+    # Outlier thresholds applied to the stage-1 error map to build stage-2
+    # candidate crops (reference ``recognition.py:93``). A flat list means the
+    # same dynamic set for every object; per-object overrides are handled at
+    # eval-driver level (``5_evaluation_bop_basic.py:164-170``).
+    outlier_th: tuple[float, ...] = (0.1, 0.2, 0.3)
+    # Inlier threshold on the stage-2 error map gating PnP correspondences
+    # (reference ``recognition.py:203``).
+    inlier_th: float = 0.1
+    # Square-crop expansion factor around the detector box
+    # (reference ``recognition.py:19,38``).
+    box_size: float = 1.5
+    # RANSAC reprojection error in pixels (reference ``recognition.py:217``
+    # hard-codes 5 via reprojectionError=5; th_ransac=3 is passed but unused).
+    ransac_reproj_px: float = 5.0
+    # RANSAC hypothesis count (reference ``recognition.py:217`` iterationsCount).
+    ransac_iters: int = 100
+    # Norm of the decoded XYZ below which a pixel counts as background "gray"
+    # (reference ``recognition.py:89,137``).
+    gray_norm_th: float = 0.3
+    # Minimum stage-1 foreground pixels to emit a candidate
+    # (reference ``recognition.py:96``).
+    min_stage1_px: int = 10
+    # Minimum valid correspondences for PnP (reference ``recognition.py:214``).
+    min_pnp_px: int = 6
+    # Network input resolution (reference ``ae_model.py:71``).
+    im_size: int = 128
+    backbone: str = "paper"  # "paper" | "resnet50"
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    """Evaluation-driver configuration.
+
+    Field names follow the reference JSON keys one-to-one
+    (``cfg/cfg_bop2020.json``; consumed at ``5_evaluation_bop_basic.py``).
+    """
+
+    dataset_dir: str = ""
+    dataset_names: tuple[str, ...] = ()
+    detection_pipeline: str = "extern"  # "rcnn" | "retinanet" | "extern"
+    path_to_detection_pipeline: str = ""
+    detection_weight: str = ""
+    path_to_output: str = "output"
+    # Flat list -> dynamic multi-threshold for all objects; list of lists ->
+    # fixed per-object threshold (``5_evaluation_bop_basic.py:164-170``).
+    outlier_th: tuple = (0.15, 0.25, 0.35)
+    inlier_th: float = 0.1
+    norm_factor_fn: str = "norm_factor.json"
+    background_imgs_for_training: str = ""
+    # 1 = detector score; 2 = det_score * frac_inlier * mask_iou * union
+    # (``5_evaluation_bop_basic.py:103-105,307-316``).
+    score_type: int = 1
+    # 1 = SiSo (all results); 2 = ViVo top-n (``basic:107-109,342-349``).
+    task_type: int = 1
+    cand_factor: float = 1.0
+    test_target: str = "test_targets_bop19"
+    backbone: str = "paper"
+    target_obj: tuple[int, ...] | None = None
+
+    def estimator(self, obj_index: int | None = None) -> EstimatorConfig:
+        """Build the per-object estimator config, resolving per-object
+        outlier thresholds when ``outlier_th`` is a list-of-lists."""
+        th = self.outlier_th
+        if len(th) > 0 and isinstance(th[0], (list, tuple)):
+            if obj_index is None:
+                raise ValueError("per-object outlier_th requires obj_index")
+            th = tuple(float(t) for t in th[obj_index])
+        else:
+            th = tuple(float(t) for t in th)
+        return EstimatorConfig(
+            outlier_th=th,
+            inlier_th=float(self.inlier_th),
+            backbone=self.backbone,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """GAN training configuration (reference ``tools/3_train_pix2pose.py``)."""
+
+    batch_size: int = 50  # reference ``3_train:93``
+    max_epoch: int = 10  # reference ``3_train:168``
+    # Loss weights [reconstruction, adversarial] (reference ``3_train:73``).
+    loss_weight_recon: float = 100.0
+    loss_weight_gan: float = 1.0
+    # BOP-challenge lr schedule (reference ``3_train:169-173``).
+    lr_schedule: tuple[float, ...] = (
+        1e-3, 1e-3, 1e-3, 1e-3, 1e-3,
+        1e-3, 1e-3, 1e-4, 1e-4, 1e-4,
+        1e-5, 1e-5, 1e-5, 1e-5, 1e-6,
+        1e-6, 1e-6, 1e-6, 1e-6, 1e-7,
+    )
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    label_smoothing: bool = True  # reference ``3_train:212``
+    label_flipping: float = 0.2  # reference ``3_train:212``
+    im_size: int = 128
+    backbone: str = "paper"
+    # epoch = min(n_data/batch*10, 3000) batches (reference ``3_train:191``).
+    max_batches_per_epoch: int = 3000
+
+    def batches_per_epoch(self, n_data: int) -> int:
+        return int(min(n_data / self.batch_size * 10, self.max_batches_per_epoch))
+
+
+def _tuplify(v: Any) -> Any:
+    if isinstance(v, list):
+        return tuple(_tuplify(x) for x in v)
+    return v
+
+
+def load_eval_config(path_or_dict: str | dict) -> EvalConfig:
+    """Load an :class:`EvalConfig` from a reference-format JSON config file.
+
+    Accepts the exact JSON schema of the reference ``cfg/*.json`` files
+    (e.g. ``cfg/cfg_bop2020.json``). Unknown keys are ignored.
+    """
+    if isinstance(path_or_dict, dict):
+        raw = path_or_dict
+    else:
+        with open(path_or_dict) as f:
+            raw = json.load(f)
+    fields = {f.name for f in dataclasses.fields(EvalConfig)}
+    kwargs = {k: _tuplify(v) for k, v in raw.items() if k in fields}
+    if "task_type" in kwargs:
+        kwargs["task_type"] = int(kwargs["task_type"])  # ref stores "2" or 2
+    if "score_type" in kwargs:
+        kwargs["score_type"] = int(kwargs["score_type"])
+    if "cand_factor" in kwargs:
+        kwargs["cand_factor"] = float(kwargs["cand_factor"])
+    return EvalConfig(**kwargs)
