@@ -1,0 +1,256 @@
+"""On-device PnP-RANSAC.
+
+Replaces the reference's per-candidate OpenCV call
+(``cv2.solvePnPRansac(..., SOLVEPNP_EPNP, reprojectionError=5,
+iterationsCount=100)``, ``pix2pose_model/recognition.py:216-223``) with a
+fully vectorized, jittable solver:
+
+- R minimal hypotheses are drawn at once (Gumbel top-k sampling of 6-point
+  sets from the valid-correspondence mask — no rejection loops),
+- each hypothesis is solved by DLT (smallest eigenvector of the 12x12 normal
+  matrix, batched ``eigh``) and decomposed to a rigid pose via 3x3 SVD,
+- all hypotheses score all correspondences in one broadcast reprojection,
+- the consensus set of the best hypothesis is refit with a masked DLT and
+  polished by fixed-iteration Gauss-Newton on the pixel reprojection error.
+
+Everything is shape-static: variable-size valid sets are boolean masks, so
+the whole thing vmaps over stage-2 candidates and jits once (SURVEY.md §7
+"PnP-RANSAC on device").
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class PnPResult(NamedTuple):
+    R: jnp.ndarray  # (3, 3)
+    t: jnp.ndarray  # (3,)
+    n_inliers: jnp.ndarray  # () int32; -1 when invalid (reference semantics)
+    inlier_mask: jnp.ndarray  # (N,) bool
+    ok: jnp.ndarray  # () bool
+
+
+def project(obj_pts, R, t, K):
+    """Pinhole projection of (N, 3) model points to (N, 2) pixels."""
+    p = obj_pts @ R.T + t
+    z = p[..., 2:3]
+    z = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    xy = p[..., :2] / z
+    u = K[0, 0] * xy[..., 0] + K[0, 1] * xy[..., 1] + K[0, 2]
+    v = K[1, 1] * xy[..., 1] + K[1, 2]
+    return jnp.stack([u, v], axis=-1)
+
+
+def _normalized_cam(img_pts, K):
+    """Pixel -> normalized camera coordinates via K^-1 (no skew assumed
+    beyond K[0,1])."""
+    v = (img_pts[..., 1] - K[1, 2]) / K[1, 1]
+    u = (img_pts[..., 0] - K[0, 2] - K[0, 1] * v) / K[0, 0]
+    return jnp.stack([u, v], axis=-1)
+
+
+def _dlt_normal_matrix(obj_n, cam_n, w):
+    """Accumulate the 12x12 normal matrix sum_i w_i (a1 a1^T + a2 a2^T) of
+    the DLT system without materializing A. obj_n: (N,3) normalized object
+    points, cam_n: (N,2) normalized camera coords, w: (N,) weights."""
+    n = obj_n.shape[0]
+    xh = jnp.concatenate([obj_n, jnp.ones((n, 1), obj_n.dtype)], axis=-1)
+    zeros = jnp.zeros_like(xh)
+    # row for u: [X 0 -u*X]; row for v: [0 X -v*X]
+    a1 = jnp.concatenate([xh, zeros, -cam_n[:, :1] * xh], axis=-1)  # (N,12)
+    a2 = jnp.concatenate([zeros, xh, -cam_n[:, 1:2] * xh], axis=-1)
+    w = w[:, None]
+    return (a1 * w).T @ a1 + (a2 * w).T @ a2  # (12, 12)
+
+
+def _pose_from_p(p_vec, obj_mean, obj_scale, sample_pts, K):
+    """Decompose a DLT solution vector into a rigid pose in original
+    (unnormalized) object coordinates."""
+    P = p_vec.reshape(3, 4)
+    # fix projective sign via cheirality of the sample points
+    z = sample_pts @ P[2, :3] + P[2, 3]
+    P = P * jnp.where(jnp.sum(z) < 0, -1.0, 1.0)
+    M = P[:, :3]
+    u, s, vt = jnp.linalg.svd(M)
+    det = jnp.linalg.det(u @ vt)
+    d = jnp.array([1.0, 1.0, 0.0]) + jnp.array([0.0, 0.0, 1.0]) * det
+    R = (u * d[None, :]) @ vt
+    lam = jnp.mean(s * d)  # account for the flipped axis
+    lam = jnp.where(jnp.abs(lam) < 1e-9, 1e-9, lam)
+    t_n = P[:, 3] / lam
+    # undo object normalization x' = (x - mean)/scale:
+    # X_cam ∝ R x' + t_n  ->  true t = scale * t_n - R mean ... up to the
+    # global positive scale `scale` which projection ignores.
+    t = obj_scale * t_n - R @ obj_mean
+    return R, t
+
+
+def _gauss_newton_refine(R, t, obj_pts, img_pts, w, K, iters: int = 8,
+                         damping: float = 1e-6):
+    """Fixed-iteration damped Gauss-Newton on pixel reprojection error,
+    parametrized by se(3)-style increments (omega, dt) with R <- exp(w)R."""
+
+    def rodrigues(omega):
+        th = jnp.linalg.norm(omega) + 1e-12
+        k = omega / th
+        kx = jnp.array([[0, -k[2], k[1]], [k[2], 0, -k[0]],
+                        [-k[1], k[0], 0]])
+        return (jnp.eye(3) + jnp.sin(th) * kx
+                + (1 - jnp.cos(th)) * (kx @ kx))
+
+    fx, fy, skew = K[0, 0], K[1, 1], K[0, 1]
+
+    def step(carry, _):
+        R, t = carry
+        p = obj_pts @ R.T + t  # (N,3) camera points
+        z = jnp.where(jnp.abs(p[:, 2]) < 1e-9, 1e-9, p[:, 2])
+        inv_z = 1.0 / z
+        x, y = p[:, 0], p[:, 1]
+        # residuals (N,2)
+        u = fx * x * inv_z + skew * y * inv_z + K[0, 2]
+        v = fy * y * inv_z + K[1, 2]
+        r = jnp.stack([u, v], -1) - img_pts
+        # d(uv)/d(p): (N,2,3)
+        duv_dp = jnp.stack([
+            jnp.stack([fx * inv_z, skew * inv_z,
+                       -(fx * x + skew * y) * inv_z ** 2], -1),
+            jnp.stack([jnp.zeros_like(x), fy * inv_z,
+                       -fy * y * inv_z ** 2], -1),
+        ], 1)
+        # left perturbation: p(w) = exp(w) p ≈ p + w x p, so
+        # dp/d(omega) = -[p]_x; `neg_px` below IS -[p]_x.
+        neg_px = jnp.stack([
+            jnp.stack([jnp.zeros_like(x), p[:, 2], -p[:, 1]], -1),
+            jnp.stack([-p[:, 2], jnp.zeros_like(x), p[:, 0]], -1),
+            jnp.stack([p[:, 1], -p[:, 0], jnp.zeros_like(x)], -1),
+        ], 1)
+        J_w = jnp.einsum("nij,njk->nik", duv_dp, neg_px)  # (N,2,3)
+        J = jnp.concatenate([J_w, duv_dp], axis=-1)  # (N,2,6)
+        wn = w[:, None, None]
+        JtJ = jnp.einsum("nri,nrj->ij", J * wn, J)
+        Jtr = jnp.einsum("nri,nr->i", J * wn, r)
+        delta = jnp.linalg.solve(JtJ + damping * jnp.eye(6), -Jtr)
+        delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
+        R_new = rodrigues(delta[:3]) @ R
+        t_new = t + delta[3:]
+        return (R_new, t_new), None
+
+    (R, t), _ = jax.lax.scan(step, (R, t), None, length=iters)
+    return R, t
+
+
+def _sample_minimal_sets(key, valid, n_hyp: int, k: int = 6):
+    """(n_hyp, k) index sets drawn from the valid mask via Gumbel top-k
+    (sampling without replacement, no data-dependent loops)."""
+    n = valid.shape[0]
+    g = jax.random.gumbel(key, (n_hyp, n))
+    scores = jnp.where(valid[None, :], g, -jnp.inf)
+    _, idx = jax.lax.top_k(scores, k)
+    return idx
+
+
+def pnp_ransac(obj_pts, img_pts, valid, K, key, *, iters: int = 100,
+               reproj_px: float = 5.0, min_pts: int = 6,
+               refine_iters: int = 8) -> PnPResult:
+    """RANSAC EPnP-equivalent pose from masked 2D-3D correspondences.
+
+    Args:
+      obj_pts: (N, 3) model coordinates (mm).
+      img_pts: (N, 2) pixel coordinates (u, v).
+      valid: (N,) bool correspondence mask.
+      K: (3, 3) intrinsics.
+      key: PRNG key.
+      iters: number of RANSAC hypotheses (reference iterationsCount=100).
+      reproj_px: inlier threshold in pixels (reference reprojectionError=5).
+      min_pts: minimum valid correspondences (reference ``recognition.py:214``).
+
+    Returns:
+      :class:`PnPResult`; ``ok=False`` (with identity pose, n_inliers=-1)
+      when fewer than ``min_pts`` valid points — the reference's bail-out
+      contract.
+    """
+    obj_pts = jnp.asarray(obj_pts, jnp.float32)
+    img_pts = jnp.asarray(img_pts, jnp.float32)
+    valid = jnp.asarray(valid, bool)
+    K = jnp.asarray(K, jnp.float32)
+    n = obj_pts.shape[0]
+    wf = valid.astype(jnp.float32)
+    n_valid = jnp.sum(wf)
+
+    # normalize object coordinates for DLT conditioning
+    obj_mean = jnp.sum(obj_pts * wf[:, None], 0) / jnp.maximum(n_valid, 1.0)
+    centered = (obj_pts - obj_mean) * wf[:, None]
+    obj_scale = jnp.sqrt(
+        jnp.sum(centered ** 2) / jnp.maximum(n_valid * 3.0, 1.0))
+    obj_scale = jnp.maximum(obj_scale, 1e-6)
+    obj_n = (obj_pts - obj_mean) / obj_scale
+    cam_n = _normalized_cam(img_pts, K)
+
+    # --- hypothesis generation -------------------------------------------
+    idx = _sample_minimal_sets(key, valid, iters)  # (R, 6)
+    h_obj = obj_n[idx]  # (R, 6, 3)
+    h_cam = cam_n[idx]  # (R, 6, 2)
+    ones6 = jnp.ones((iters, 6), jnp.float32)
+    ata = jax.vmap(_dlt_normal_matrix)(h_obj, h_cam, ones6)  # (R, 12, 12)
+    ata = jnp.where(jnp.isfinite(ata), ata, 0.0)
+    _, vecs = jnp.linalg.eigh(ata)
+    p_min = vecs[..., 0]  # (R, 12) smallest-eigenvalue vector
+    Rs, ts = jax.vmap(
+        lambda p, sp: _pose_from_p(p, obj_mean, obj_scale, sp, K)
+    )(p_min, h_obj)
+
+    # --- scoring ----------------------------------------------------------
+    proj = jax.vmap(lambda R, t: project(obj_pts, R, t, K))(Rs, ts)  # (R,N,2)
+    err = jnp.linalg.norm(proj - img_pts[None], axis=-1)
+    depth = jnp.einsum("rj,nj->rn", Rs[:, 2, :], obj_pts) + ts[:, 2:3]
+    inl = (err < reproj_px) & valid[None, :] & (depth > 0)
+    finite = jnp.all(jnp.isfinite(Rs), axis=(1, 2)) & jnp.all(
+        jnp.isfinite(ts), axis=1)
+    scores = jnp.where(finite, jnp.sum(inl, axis=1), -1)
+    best = jnp.argmax(scores)
+    best_inl = inl[best]
+
+    # --- refit on consensus ----------------------------------------------
+    w_in = best_inl.astype(jnp.float32)
+    n_in = jnp.sum(w_in)
+    enough = n_in >= min_pts
+    w_fit = jnp.where(enough, w_in, wf)  # degenerate fallback: all valid
+    ata_all = _dlt_normal_matrix(obj_n, cam_n, w_fit)
+    ata_all = jnp.where(jnp.isfinite(ata_all), ata_all, 0.0)
+    _, vecs_all = jnp.linalg.eigh(ata_all)
+    R_fit, t_fit = _pose_from_p(vecs_all[:, 0], obj_mean, obj_scale,
+                                obj_n * w_fit[:, None], K)
+    fit_ok = jnp.all(jnp.isfinite(R_fit)) & jnp.all(jnp.isfinite(t_fit))
+    R_fit = jnp.where(fit_ok, R_fit, Rs[best])
+    t_fit = jnp.where(fit_ok, t_fit, ts[best])
+    R_ref, t_ref = _gauss_newton_refine(R_fit, t_fit, obj_pts, img_pts,
+                                        w_fit, K, iters=refine_iters)
+    ref_ok = jnp.all(jnp.isfinite(R_ref)) & jnp.all(jnp.isfinite(t_ref))
+    R_ref = jnp.where(ref_ok, R_ref, R_fit)
+    t_ref = jnp.where(ref_ok, t_ref, t_fit)
+
+    # recount inliers with the refined pose (matches OpenCV's returned set)
+    err_f = jnp.linalg.norm(project(obj_pts, R_ref, t_ref, K) - img_pts,
+                            axis=-1)
+    depth_f = obj_pts @ R_ref[2] + t_ref[2]
+    inl_f = (err_f < reproj_px) & valid & (depth_f > 0)
+
+    ok = (n_valid >= min_pts) & (scores[best] > 0)
+    eye = jnp.eye(3, dtype=jnp.float32)
+    zero = jnp.zeros(3, jnp.float32)
+    return PnPResult(
+        R=jnp.where(ok, R_ref, eye),
+        t=jnp.where(ok, t_ref, zero),
+        n_inliers=jnp.where(ok, jnp.sum(inl_f), -1).astype(jnp.int32),
+        inlier_mask=inl_f & ok,
+        ok=ok,
+    )
+
+
+# Batched over candidates: obj/img/valid/key batched, K shared.
+pnp_ransac_batch = jax.vmap(
+    pnp_ransac, in_axes=(0, 0, 0, None, 0), out_axes=0)
