@@ -1,0 +1,283 @@
+"""Batched two-stage pose inference.
+
+The reference estimates one detection at a time with host-side crops, two
+batch<=3 network calls and an OpenCV PnP per candidate
+(``pix2pose_model/recognition.py:70-224``; its own TODO at
+``recognition.py:123`` asks for the batching this module does). Here the
+whole per-image workload is ONE jitted tensor program:
+
+  stage 1: N detections -> fused crop-resize -> one network pass
+  stage 2: N x T outlier-threshold candidates -> masked re-crop -> one
+           network pass -> vmapped PnP-RANSAC -> masked candidate argmin
+
+All shapes are static: detections are padded to ``max_det`` and invalid
+slots carry a validity mask. Correspondences live on the 128-grid (the
+reference instead upsamples predictions to the crop window and enumerates
+integer pixels — same information, dynamic shapes; see SURVEY.md §7).
+
+Semantics preserved from the reference (with citations inline):
+  - square 1.5x crop windows with clamp-and-shift bookkeeping (get_boxes)
+  - gray-norm foreground test ||decode|| > 0.3 (``recognition.py:89,137``)
+  - per-threshold background zeroing for stage 2 (``recognition.py:94-122``)
+  - stage-2 window centered on the stage-1 foreground centroid and capped
+    at the stage-1 window size (``recognition.py:108-110``)
+  - candidate selection by min centroid-reprojection-distance^2 / n_inliers
+    (``recognition.py:158-174``)
+  - bail-outs: <10 foreground px, <6 PnP points -> invalid (-1 fraction)
+    (``recognition.py:96,149,214``)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pix2pose_tpu.config import EstimatorConfig
+from pix2pose_tpu.ops import boxes as boxes_ops
+from pix2pose_tpu.ops import crop as crop_ops
+from pix2pose_tpu.ops import pnp as pnp_ops
+from pix2pose_tpu.ops.boxes import CropBox
+from pix2pose_tpu.ops.color import color01_to_xyz
+
+
+class PoseEstimate(NamedTuple):
+    """Per-detection results (leading axis = padded detection slot)."""
+
+    R: jnp.ndarray            # (N, 3, 3)
+    t: jnp.ndarray            # (N, 3) mm
+    valid: jnp.ndarray        # (N,) bool — pose found
+    frac_inlier: jnp.ndarray  # (N,) max_inlier / stage-1 foreground px; -1 invalid
+    n_inliers: jnp.ndarray    # (N,) int32 (at the PnP grid resolution)
+    mask_pnp: jnp.ndarray     # (N, S/st, S/st) bool — PnP valid-pixel mask
+    fg128: jnp.ndarray        # (N, S, S) bool — stage-2 foreground (sel. cand.)
+    xyz128: jnp.ndarray       # (N, S, S, 3) predicted coords in [0,1] colors
+    box1: CropBox             # stage-1 crop boxes (batched fields)
+    box2: CropBox             # stage-2 crop boxes (batched fields)
+    area_scale: jnp.ndarray   # (N,) full-res px per grid px (Hc*Wc/S^2)
+
+
+def _stage2_mask_on_grid(fg_prob, box1: CropBox, box2: CropBox, size: int):
+    """Resample the stage-1 foreground mask (stage-1 grid frame) onto the
+    stage-2 grid, thresholding at 0.9 like the reference's
+    ``resize(non_gray_prob, ...) > 0.9`` (``recognition.py:103``). Grid
+    points outside the image see mask 0 (reference builds ``bg_full`` as
+    all-background outside the window, ``recognition.py:105-106``)."""
+    # stage-2 grid -> full image coords
+    vv, uu, in_img = crop_ops.crop_pixel_centers(box2, size)
+    # full image -> stage-1 grid coords
+    h1 = jnp.asarray(box1.height, jnp.float32)
+    w1 = jnp.asarray(box1.width, jnp.float32)
+    g_v = (vv - jnp.asarray(box1.v1_ori, jnp.float32) + 0.5) * size / h1 - 0.5
+    g_u = (uu - jnp.asarray(box1.u1_ori, jnp.float32) + 0.5) * size / w1 - 0.5
+    # bilinear sample with zero padding
+    v0 = jnp.floor(g_v).astype(jnp.int32)
+    u0 = jnp.floor(g_u).astype(jnp.int32)
+    fv = g_v - v0
+    fu = g_u - u0
+
+    def tap(vi, ui):
+        ok = (vi >= 0) & (vi < size) & (ui >= 0) & (ui < size)
+        val = fg_prob[jnp.clip(vi, 0, size - 1), jnp.clip(ui, 0, size - 1)]
+        return jnp.where(ok, val, 0.0)
+
+    samp = (tap(v0, u0) * (1 - fv) * (1 - fu)
+            + tap(v0, u0 + 1) * (1 - fv) * fu
+            + tap(v0 + 1, u0) * fv * (1 - fu)
+            + tap(v0 + 1, u0 + 1) * fv * fu)
+    return (samp > 0.9) & in_img
+
+
+def _select(tree, idx):
+    """Pick candidate ``idx`` along axis 0 of every leaf."""
+    return jax.tree_util.tree_map(lambda x: x[idx], tree)
+
+
+class Pix2PoseEstimator:
+    """Per-object pose estimator over padded detection batches.
+
+    One instance wraps a generator (model + params) and compiles a single
+    XLA program per (max_det, image size). The params / camera / norm-factor
+    are runtime arguments, so the same compiled program serves every object
+    of a dataset — the reference instead keeps one TF graph per object
+    (``5_evaluation_bop_basic.py:206-225``).
+    """
+
+    def __init__(self, model, cfg: EstimatorConfig = EstimatorConfig(),
+                 pnp_stride: int = 2):
+        self.model = model
+        self.cfg = cfg
+        self.pnp_stride = pnp_stride
+        self._run = jax.jit(
+            functools.partial(self._estimate),
+        )
+
+    # ------------------------------------------------------------------
+    def __call__(self, params, rgb, bboxes, det_valid, cam_k, obj_param,
+                 key) -> PoseEstimate:
+        """Estimate poses for up to N detections in one image.
+
+        Args:
+          params: generator variables ({'params', 'batch_stats'}).
+          rgb: (H, W, 3) uint8/float image (raw, unnormalized).
+          bboxes: (N, 4) [v_min, u_min, v_max, u_max] detector boxes.
+          det_valid: (N,) bool slot mask.
+          cam_k: (3, 3) intrinsics.
+          obj_param: (6,) [scale_xyz, ct_xyz] norm factors (mm).
+          key: PRNG key for RANSAC.
+        """
+        return self._run(params, rgb, bboxes, det_valid, cam_k, obj_param,
+                         key)
+
+    # ------------------------------------------------------------------
+    def _estimate(self, params, rgb, bboxes, det_valid, cam_k, obj_param,
+                  key) -> PoseEstimate:
+        cfg = self.cfg
+        size = cfg.im_size
+        th_o = jnp.asarray(cfg.outlier_th, jnp.float32)  # (T,)
+        n_th = len(cfg.outlier_th)
+        im_h, im_w = rgb.shape[0], rgb.shape[1]
+        n_det = bboxes.shape[0]
+
+        # normalize once: (x - 128)/128 (reference ``recognition.py:77``)
+        rgb_n = (jnp.asarray(rgb, jnp.float32) - 128.0) / 128.0
+
+        # ---------------- stage 1 ----------------
+        box1 = jax.vmap(
+            lambda b: boxes_ops.get_boxes(b, im_h, im_w, cfg.box_size)
+        )(bboxes)
+        crops1 = crop_ops.crop_resize_batch(rgb_n, box1, size, True)
+        dec1, prob1 = self.model.apply(params, crops1)  # (N,S,S,3),(N,S,S,1)
+        prob1 = prob1[..., 0]
+        fg1 = jnp.linalg.norm(dec1, axis=-1) > cfg.gray_norm_th  # (N,S,S)
+        n_init = jnp.sum(fg1, axis=(1, 2))  # (N,)
+
+        # stage-1 foreground bbox & centroid — threshold-independent
+        # (reference ``recognition.py:98-109`` uses non_gray, not the
+        # thresholded mask, for both)
+        fg_bbox = jax.vmap(boxes_ops.bbox_from_mask)(fg1)  # (N,4) grid coords
+        h1 = box1.height.astype(jnp.float32)
+        w1 = box1.width.astype(jnp.float32)
+        scale_vec = jnp.stack([h1, w1, h1, w1], axis=1) / size
+        fg_bbox_canvas = fg_bbox.astype(jnp.float32) * scale_vec
+
+        gi = jnp.arange(size, dtype=jnp.float32)
+        fg_f = fg1.astype(jnp.float32)
+        fg_n = jnp.maximum(jnp.sum(fg_f, axis=(1, 2)), 1.0)
+        mean_v = jnp.sum(fg_f * gi[None, :, None], axis=(1, 2)) / fg_n
+        mean_u = jnp.sum(fg_f * gi[None, None, :], axis=(1, 2)) / fg_n
+        # grid centroid -> full image (reference ``recognition.py:108-109``:
+        # ct = grid_mean - 127/2 + detector box center)
+        cx_o = (bboxes[:, 1] + bboxes[:, 3]).astype(jnp.float32) / 2.0
+        cy_o = (bboxes[:, 0] + bboxes[:, 2]).astype(jnp.float32) / 2.0
+        ct_u = jnp.floor(mean_u - (size - 1) / 2.0 + cx_o)
+        ct_v = jnp.floor(mean_v - (size - 1) / 2.0 + cy_o)
+
+        box2 = jax.vmap(
+            lambda b, ct, mw: boxes_ops.get_boxes(
+                b, im_h, im_w, cfg.box_size, ct=ct, max_w=mw)
+        )(fg_bbox_canvas, jnp.stack([ct_v, ct_u], axis=1),
+          (box1.v2_ori - box1.v1_ori).astype(jnp.float32))
+
+        # ---------------- stage 2 inputs ----------------
+        crops2 = crop_ops.crop_resize_batch(rgb_n, box2, size, True)  # (N,S,S,3)
+        # per-threshold foreground prob mask on the stage-1 grid
+        fg_th = (fg1[:, None] & (prob1[:, None] < th_o[None, :, None, None]))
+        cand_ok = jnp.sum(fg_th, axis=(2, 3)) >= cfg.min_stage1_px  # (N,T)
+        mask2 = jax.vmap(  # over detections
+            lambda m, b1, b2: jax.vmap(
+                lambda mt: _stage2_mask_on_grid(mt.astype(jnp.float32), b1,
+                                                b2, size))(m)
+        )(fg_th, box1, box2)  # (N,T,S,S) bool
+        stage2_in = crops2[:, None] * mask2[..., None].astype(jnp.float32)
+
+        flat_in = stage2_in.reshape(n_det * n_th, size, size, 3)
+        dec2, prob2 = self.model.apply(params, flat_in)
+        prob2 = prob2.reshape(n_det, n_th, size, size)
+        dec2 = dec2.reshape(n_det, n_th, size, size, 3)
+
+        fg2 = jnp.linalg.norm(dec2, axis=-1) > cfg.gray_norm_th  # (N,T,S,S)
+        # zero out gray pixels -> color 0.5 after decode (ref ``:139``)
+        dec2 = jnp.where(fg2[..., None], dec2, 0.0)
+        xyz01 = jnp.clip((dec2 + 1.0) * 0.5, 0.0, 1.0)
+        n_fg2 = jnp.sum(fg2, axis=(2, 3))  # (N,T)
+        cand_ok = cand_ok & (n_fg2 >= cfg.min_stage1_px)  # ref ``:149``
+
+        # ---------------- correspondences on the grid ----------------
+        vv, uu, in_img = jax.vmap(
+            lambda b: crop_ops.crop_pixel_centers(b, size))(box2)  # (N,S,S)
+        st = self.pnp_stride
+        sub = lambda a: a[..., ::st, ::st]        # (..., S, S) maps
+        subc = lambda a: a[..., ::st, ::st, :]    # (..., S, S, C) maps
+        gs = size // st
+        obj_scale = obj_param[:3]
+        obj_ct = obj_param[3:]
+        xyz_mm = color01_to_xyz(subc(xyz01), obj_scale, obj_ct)  # (N,T,gs,gs,3)
+        pnp_valid = (sub(fg2)
+                     & (sub(prob2) < cfg.inlier_th)
+                     & sub(in_img)[:, None])  # (N,T,gs,gs)
+        img_pts = jnp.stack([sub(uu), sub(vv)], axis=-1)  # (N,gs,gs,2)
+        img_pts = jnp.broadcast_to(img_pts[:, None],
+                                   (n_det, n_th, gs, gs, 2))
+
+        flat = lambda a, d: a.reshape((n_det * n_th,) + d)
+        keys = jax.random.split(key, n_det * n_th)
+        res = pnp_ops.pnp_ransac_batch(
+            flat(xyz_mm, (gs * gs, 3)), flat(img_pts, (gs * gs, 2)),
+            flat(pnp_valid, (gs * gs,)), cam_k, keys,
+        )
+        res = jax.tree_util.tree_map(
+            lambda x: x.reshape((n_det, n_th) + x.shape[1:]), res)
+
+        # ---------------- candidate selection ----------------
+        # centroid of stage-2 foreground in full-image coords
+        fg2s = sub(fg2).astype(jnp.float32)
+        fg2_n = jnp.maximum(jnp.sum(fg2s, axis=(2, 3)), 1.0)
+        ct_px_v = jnp.sum(fg2s * sub(vv)[:, None], axis=(2, 3)) / fg2_n
+        ct_px_u = jnp.sum(fg2s * sub(uu)[:, None], axis=(2, 3)) / fg2_n
+        tz = res.t[..., 2]
+        proj_u = cam_k[0, 0] * res.t[..., 0] / jnp.where(tz == 0, 1e9, tz) \
+            + cam_k[0, 2]
+        proj_v = cam_k[1, 1] * res.t[..., 1] / jnp.where(tz == 0, 1e9, tz) \
+            + cam_k[1, 2]
+        dist = ((proj_v - ct_px_v) ** 2 + (proj_u - ct_px_u) ** 2) \
+            / (res.n_inliers.astype(jnp.float32) + 1e-6)
+        dist = jnp.where(tz == 0, 9.9e6, dist)  # ref ``recognition.py:163-168``
+        usable = cand_ok & res.ok
+        dist = jnp.where(usable, dist, jnp.inf)
+        best = jnp.argmin(dist, axis=1)  # (N,)
+        any_ok = jnp.any(usable, axis=1) & det_valid
+
+        take = jax.vmap(lambda a, i: a[i], in_axes=(0, 0))
+        sel = lambda a: take(a, best)
+        R = sel(res.R)
+        t = sel(res.t)
+        n_inl = sel(res.n_inliers)
+        # reference counts inliers at crop resolution and stage-1 foreground
+        # at the 128 grid; our inliers live on the st-strided grid, so scale
+        # counts by st^2 to keep the same fraction scale (``recognition:193``)
+        frac = (n_inl.astype(jnp.float32) * float(st * st)) / jnp.maximum(
+            n_init.astype(jnp.float32), 1.0)
+        # PnP valid-pixel mask (reference ``valid_mask`` at ``:204``)
+        valid_sel = sel(pnp_valid)
+        fg_sel = sel(fg2)
+        xyz_sel = sel(xyz01)
+
+        area_scale = (box2.height * box2.width).astype(jnp.float32) \
+            / float(size * size)
+        eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), R.shape)
+        return PoseEstimate(
+            R=jnp.where(any_ok[:, None, None], R, eye),
+            t=jnp.where(any_ok[:, None], t, 0.0),
+            valid=any_ok,
+            frac_inlier=jnp.where(any_ok, frac, -1.0),
+            n_inliers=jnp.where(any_ok, n_inl, -1),
+            mask_pnp=valid_sel & any_ok[:, None, None],
+            fg128=fg_sel & any_ok[:, None, None],
+            xyz128=xyz_sel,
+            box1=box1,
+            box2=box2,
+            area_scale=area_scale,
+        )

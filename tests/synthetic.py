@@ -1,0 +1,78 @@
+"""Synthetic scene fixtures: analytic ray-cast cube renders with
+self-consistent GT (SURVEY.md §4 — integration tests on scenes we render
+ourselves, no dataset downloads)."""
+
+import numpy as np
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+CAM_K = np.array([[572.4, 0.0, 325.3],
+                  [0.0, 573.6, 242.0],
+                  [0.0, 0.0, 1.0]], np.float32)
+
+
+def raycast_cube(R, t, K, im_h=480, im_w=640, half=40.0):
+    """Ray-cast an axis-aligned cube [-half, half]^3 under pose (R, t [mm]).
+
+    Returns (hit (H,W) bool, pts (H,W,3) model-frame intersection points).
+    """
+    v, u = np.mgrid[0:im_h, 0:im_w].astype(np.float64)
+    d = np.stack([(u - K[0, 2]) / K[0, 0], (v - K[1, 2]) / K[1, 1],
+                  np.ones_like(u)], axis=-1)
+    # camera ray -> object frame
+    d_o = d @ R  # R^T d
+    o_o = -t @ R  # R^T (0 - t)
+    inv = 1.0 / np.where(np.abs(d_o) < 1e-12, 1e-12, d_o)
+    t1 = (-half - o_o) * inv
+    t2 = (half - o_o) * inv
+    tmin = np.minimum(t1, t2).max(axis=-1)
+    tmax = np.maximum(t1, t2).min(axis=-1)
+    hit = (tmax > tmin) & (tmax > 0)
+    tcl = np.where(tmin > 0, tmin, tmax)
+    pts = o_o[None, None] + tcl[..., None] * d_o
+    pts = np.clip(pts, -half, half)
+    return hit, pts.astype(np.float32)
+
+
+def xyz_scene(R, t, K=CAM_K, im_h=480, im_w=640, half=40.0):
+    """RGB image whose colors ARE the normalized cube coordinates (the
+    contract of models_xyz renders), gray background; plus GT norm factors.
+
+    Returns (rgb uint8 (H,W,3), obj_param (6,), hit mask).
+    """
+    hit, pts = raycast_cube(R, t, K, im_h, im_w, half)
+    scale = np.array([half, half, half], np.float32)
+    ct = np.zeros(3, np.float32)
+    col = ((pts / scale) + 1.0) / 2.0  # [0,1]
+    rgb = np.full((im_h, im_w, 3), 128, np.uint8)
+    rgb[hit] = np.clip(col[hit] * 255.0, 0, 255).astype(np.uint8)
+    obj_param = np.concatenate([scale, ct]).astype(np.float32)
+    return rgb, obj_param, hit
+
+
+class OracleGenerator(nn.Module):
+    """Identity 'network': decodes the input colors as coordinates with
+    uniform high confidence. With an XYZ-colored scene this turns the
+    inference engine into a closed loop with analytic ground truth."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dummy = self.param("dummy", nn.initializers.zeros, (1,))
+        del dummy
+        xyz = jnp.clip(x, -1.0, 1.0)
+        prob = jnp.full(x.shape[:-1] + (1,), 0.01, x.dtype)
+        return xyz, prob
+
+
+def pose_with_euler(yaw=0.4, pitch=-0.3, roll=0.2, tx=10.0, ty=-20.0,
+                    tz=600.0):
+    cz, sz = np.cos(yaw), np.sin(yaw)
+    cy, sy = np.cos(pitch), np.sin(pitch)
+    cx, sx = np.cos(roll), np.sin(roll)
+    Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    Rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    R = (Rz @ Ry @ Rx).astype(np.float32)
+    return R, np.array([tx, ty, tz], np.float32)
