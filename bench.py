@@ -1,0 +1,80 @@
+"""Benchmark: detection crops/sec/chip through the full AE + PnP-RANSAC
+two-stage inference engine (BASELINE.json primary metric).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline derivation: the reference runs one crop at a time through TF1
+``predict`` plus host-side skimage resizes and OpenCV PnP
+(``recognition.py:70-224``); published BOP'20 timings for Pix2Pose are
+~0.2-0.8 s/image at ~5 detections -> ~10-25 crops/sec on its GPU. We use
+20 crops/sec as the reference point for vs_baseline (no official number is
+checked in; see BASELINE.md).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+REFERENCE_CROPS_PER_SEC = 20.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pix2pose_tpu.config import EstimatorConfig
+    from pix2pose_tpu.inference import Pix2PoseEstimator
+    from pix2pose_tpu.models import build_generator
+
+    im_h, im_w = 480, 640
+    n_det = 16  # padded detections per image-batch run
+    cam_k = jnp.asarray([[572.4, 0.0, 325.3], [0.0, 573.6, 242.0],
+                         [0.0, 0.0, 1.0]], jnp.float32)
+    obj_param = jnp.asarray([40.0, 40.0, 40.0, 0.0, 0.0, 0.0], jnp.float32)
+
+    model = build_generator("paper")
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+    est = Pix2PoseEstimator(
+        model, EstimatorConfig(outlier_th=(0.15, 0.25, 0.35)))
+
+    rng = np.random.RandomState(0)
+    rgb = rng.randint(0, 255, (im_h, im_w, 3)).astype(np.uint8)
+    bboxes = np.zeros((n_det, 4), np.int32)
+    for i in range(n_det):
+        v0 = rng.randint(0, im_h - 140)
+        u0 = rng.randint(0, im_w - 140)
+        bboxes[i] = [v0, u0, v0 + rng.randint(60, 130),
+                     u0 + rng.randint(60, 130)]
+    det_valid = np.ones(n_det, bool)
+    key = jax.random.PRNGKey(0)
+
+    # warm-up / compile
+    out = est(params, rgb, bboxes, det_valid, cam_k, obj_param, key)
+    jax.block_until_ready(out.R)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = est(params, rgb, bboxes, det_valid, cam_k, obj_param,
+                  jax.random.fold_in(key, i))
+    jax.block_until_ready(out.R)
+    dt = time.perf_counter() - t0
+
+    crops_per_sec = n_det * iters / dt
+    per_image_ms = dt / iters * 1000.0
+    result = {
+        "metric": "detection crops/sec/chip (AE+PnP-RANSAC, two-stage)",
+        "value": round(crops_per_sec, 2),
+        "unit": "crops/s",
+        "vs_baseline": round(crops_per_sec / REFERENCE_CROPS_PER_SEC, 2),
+        "p50_image_ms_16det": round(per_image_ms, 2),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""GAN train step: loss decreases, state updates, sharded execution on the
+8-device CPU mesh (dp and obj x dp)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pix2pose_tpu.config import TrainConfig
+from pix2pose_tpu.models import AutoEncoder, Discriminator
+from pix2pose_tpu.parallel import (make_mesh, make_parallel_train_step,
+                                   replicate, shard_batch)
+from pix2pose_tpu.training import create_train_state, make_train_step
+
+
+def tiny_models():
+    # full architecture at reduced resolution is too slow for CPU CI; use the
+    # real 128 model but a tiny batch instead
+    return AutoEncoder(backbone="paper"), Discriminator()
+
+
+def synth_batch(rng, b=4, s=128):
+    src = rng.uniform(-1, 1, (b, s, s, 3)).astype(np.float32)
+    # target: a smooth function of src so the generator can actually learn
+    tgt = np.tanh(src * 0.5 + 0.2).astype(np.float32)
+    prob_gt = (rng.uniform(0, 1, (b, s, s, 1)) > 0.3).astype(np.float32)
+    return {"src": jnp.asarray(src), "tgt": jnp.asarray(tgt),
+            "prob_gt": jnp.asarray(prob_gt)}
+
+
+@pytest.fixture(scope="module")
+def setup():
+    gen, disc = tiny_models()
+    cfg = TrainConfig(batch_size=4)
+    state = create_train_state(jax.random.PRNGKey(0), gen, disc, cfg)
+    step = make_train_step(gen, disc, cfg)
+    return gen, disc, cfg, state, step
+
+
+def test_single_device_step_and_loss_decreases(setup):
+    gen, disc, cfg, state, step = setup
+    rng = np.random.RandomState(0)
+    batch = synth_batch(rng)
+    sym = jnp.eye(3)[None]
+    jstep = jax.jit(step)
+    losses = []
+    for i in range(6):
+        state, metrics = jstep(state, batch, sym, 1e-3,
+                               jax.random.PRNGKey(i))
+        losses.append(float(metrics["recon_loss"]))
+    assert int(state.step) == 6
+    assert losses[-1] < losses[0] * 0.9, losses
+    assert np.isfinite(losses).all()
+
+
+def test_dp_sharded_step(setup):
+    gen, disc, cfg, state, step = setup
+    mesh = make_mesh((1, 8))
+    pstep = make_parallel_train_step(step, mesh, object_parallel=False)
+    rng = np.random.RandomState(1)
+    batch = shard_batch(mesh, synth_batch(rng, b=8))
+    state = replicate(mesh, state)
+    sym = replicate(mesh, jnp.eye(3)[None])
+    state, metrics = pstep(state, batch, sym, 1e-3, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["recon_loss"]))
+    assert int(state.step) == 1
+
+
+def test_object_parallel_step(setup):
+    gen, disc, cfg, _, step = setup
+    mesh = make_mesh((4, 2))
+    n_obj = 4
+    states = []
+    for o in range(n_obj):
+        states.append(create_train_state(jax.random.PRNGKey(o), gen, disc,
+                                         cfg))
+    stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *states)
+    rng = np.random.RandomState(2)
+    batches = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs),
+        *[synth_batch(rng, b=2) for _ in range(n_obj)])
+    syms = jnp.tile(jnp.eye(3)[None, None], (n_obj, 1, 1, 1))
+    keys = jax.random.split(jax.random.PRNGKey(0), n_obj)
+    pstep = make_parallel_train_step(step, mesh, object_parallel=True)
+    new_state, metrics = pstep(stacked, batches, syms, 1e-3, keys)
+    assert metrics["recon_loss"].shape == (n_obj,)
+    assert np.isfinite(np.asarray(metrics["recon_loss"])).all()
+    # objects trained on different data must diverge
+    p0 = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda x: x[0],
+                               new_state.gen_params))[0]
+    p1 = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda x: x[1],
+                               new_state.gen_params))[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))
