@@ -54,8 +54,11 @@ class _DeconvBNAct(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # explicit (2, 3) padding reproduces TF/Keras Conv2DTranspose
+        # 'same' (k5/s2) exactly — flax's "SAME" places the asymmetric pad
+        # on the other side (validated in tests/test_hdf5_import.py)
         y = nn.ConvTranspose(self.features, (5, 5), strides=(2, 2),
-                             padding="SAME", dtype=self.dtype,
+                             padding=((2, 3), (2, 3)), dtype=self.dtype,
                              name="deconv")(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                          epsilon=1e-3, dtype=self.dtype, name="bn")(y)
@@ -136,10 +139,12 @@ class AutoEncoder(nn.Module):
         y = jnp.concatenate([y, s1], axis=-1)
         y = _ConvBNAct(128, dtype=self.dtype, name="d3_uni")(y, train)
 
-        xyz = nn.ConvTranspose(3, (5, 5), strides=(2, 2), padding="SAME",
+        xyz = nn.ConvTranspose(3, (5, 5), strides=(2, 2),
+                               padding=((2, 3), (2, 3)),
                                dtype=self.dtype, name="head_xyz")(y)
         xyz = jnp.tanh(xyz)
-        prob = nn.ConvTranspose(1, (5, 5), strides=(2, 2), padding="SAME",
+        prob = nn.ConvTranspose(1, (5, 5), strides=(2, 2),
+                                padding=((2, 3), (2, 3)),
                                 dtype=self.dtype, name="head_prob")(y)
         prob = nn.sigmoid(prob)
         return xyz.astype(jnp.float32), prob.astype(jnp.float32)

@@ -1,0 +1,172 @@
+"""Import reference Keras HDF5 weights into the Flax models.
+
+The reference ships per-object generator weights as Keras ``save_weights``
+HDF5 (``inference.hdf5``; layer names at ``pix2pose_model/ae_model.py``:
+named convs ``conv1_1..conv4_2``, ``deconv1-3``, ``disc_conv2d_*``, plus
+auto-named ``batch_normalization_N`` / ``dense_N`` / ``conv2d_transpose_N``
+in graph-construction order). This module maps that layout onto the Flax
+module tree so reference-trained weights run on TPU unchanged.
+
+Weight-layout conversions:
+- Conv2D kernel (kh, kw, in, out) -> identical in flax.
+- Dense (in, out) -> identical.
+- Conv2DTranspose: Keras stores (kh, kw, OUT, IN) and computes the
+  *gradient-of-conv* (input-scattered correlation with the un-flipped
+  kernel). flax ``nn.ConvTranspose`` computes a fractionally-strided
+  convolution with an (kh, kw, IN, OUT) kernel — numerically equal after
+  spatial flip + axis swap (validated in tests/test_hdf5_import.py against
+  a direct numpy reference).
+- BatchNorm gamma/beta/moving_mean/moving_variance ->
+  scale/bias + batch_stats (keras eps 1e-3 is already baked into the
+  models).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _kernel_ct(k):
+    """Keras Conv2DTranspose kernel -> flax ConvTranspose kernel."""
+    return np.ascontiguousarray(k[::-1, ::-1].transpose(0, 1, 3, 2))
+
+
+def _read_layer(f, name):
+    """Return {weight_name: array} for a layer in a save_weights file."""
+    import h5py  # noqa: F401
+
+    grp = f
+    if "model_weights" in f:
+        grp = f["model_weights"]
+    if name not in grp:
+        return None
+    layer = grp[name]
+    out = {}
+
+    def visit(key, obj):
+        import h5py
+
+        if isinstance(obj, h5py.Dataset):
+            out[key.split("/")[-1].split(":")[0]] = np.asarray(obj)
+
+    layer.visititems(visit)
+    return out
+
+
+# graph-construction order of auto-named layers in aemodel_unet_prob
+# (``ae_model.py:70-150``): BN after every conv/deconv, two dense layers,
+# five transposed convs.
+_PAPER_ENCODER = [  # (keras conv name, flax module path)
+    ("conv1_1", ("encoder", "e1_1")), ("conv1_2", ("encoder", "e1_2")),
+    ("conv2_1", ("encoder", "e2_1")), ("conv2_2", ("encoder", "e2_2")),
+    ("conv3_1", ("encoder", "e3_1")), ("conv3_2", ("encoder", "e3_2")),
+    ("conv4_1", ("encoder", "e4_1")), ("conv4_2", ("encoder", "e4_2")),
+]
+_DECODER_CONVS = [("deconv1", ("d1_uni",)), ("deconv2", ("d2_uni",)),
+                  ("deconv3", ("d3_uni",))]
+# BN auto-name indices follow keras graph order: 8 encoder BNs then the
+# decoder ones interleaved with deconvs
+_PAPER_BN_ORDER = [
+    ("encoder", "e1_1"), ("encoder", "e1_2"),
+    ("encoder", "e2_1"), ("encoder", "e2_2"),
+    ("encoder", "e3_1"), ("encoder", "e3_2"),
+    ("encoder", "e4_1"), ("encoder", "e4_2"),
+    ("d1",), ("d1_uni",), ("d2",), ("d2_uni",), ("d3",), ("d3_uni",),
+]
+_CT_ORDER = [("d1",), ("d2",), ("d3",), ("head_xyz",), ("head_prob",)]
+
+
+def _set(tree, path, leaf_name, value):
+    node = tree
+    for p in path:
+        node = node.setdefault(p, {})
+    node[leaf_name] = value
+
+
+def load_keras_generator(h5_path: str, model=None, bn_offset: int = 0,
+                         dense_offset: int = 0, ct_offset: int = 0):
+    """Load a paper-backbone generator ``inference.hdf5`` into flax
+    variables {'params', 'batch_stats'}.
+
+    The ``*_offset`` arguments shift keras auto-name numbering, which keeps
+    counting across models built earlier in the same process (the reference
+    evaluator builds one graph per object, ``5_evaluation_bop_basic.py:
+    206-225``); offsets are auto-probed when the default names are absent.
+    """
+    import h5py
+
+    with h5py.File(h5_path, "r") as f:
+        # probe auto-name offsets
+        def probe(prefix):
+            # top-level layer groups only — nested same-name weight groups
+            # keep the ORIGINAL layer name in keras files, so recursing
+            # would defeat the renumbering probe
+            grp = f["model_weights"] if "model_weights" in f else f
+            names = set(grp.keys())
+            idx = [int(n[len(prefix) + 1:]) for n in names
+                   if n.startswith(prefix + "_")
+                   and n[len(prefix) + 1:].isdigit()]
+            return min(idx) - 1 if idx else 0
+
+        bn_offset = bn_offset or probe("batch_normalization")
+        dense_offset = dense_offset or probe("dense")
+        ct_offset = ct_offset or probe("conv2d_transpose")
+
+        params: dict = {}
+        stats: dict = {}
+
+        def conv(keras_name, path, transpose=False):
+            w = _read_layer(f, keras_name)
+            if w is None:
+                raise KeyError(f"{keras_name} not in {h5_path}")
+            kernel = _kernel_ct(w["kernel"]) if transpose else w["kernel"]
+            _set(params, path, "kernel", kernel)
+            if "bias" in w:
+                _set(params, path, "bias", w["bias"])
+
+        def bn(keras_name, path):
+            w = _read_layer(f, keras_name)
+            if w is None:
+                raise KeyError(f"{keras_name} not in {h5_path}")
+            _set(params, path, "scale", w["gamma"])
+            _set(params, path, "bias", w["beta"])
+            _set(stats, path, "mean", w["moving_mean"])
+            _set(stats, path, "var", w["moving_variance"])
+
+        for name, path in _PAPER_ENCODER:
+            conv(name, path + ("conv",))
+        for name, path in _DECODER_CONVS:
+            conv(name, path + ("conv",))
+        for i, path in enumerate(_PAPER_BN_ORDER):
+            bn(f"batch_normalization_{bn_offset + i + 1}", path + ("bn",))
+        conv(f"dense_{dense_offset + 1}", ("fc_enc",))
+        conv(f"dense_{dense_offset + 2}", ("fc_dec",))
+        for i, path in enumerate(_CT_ORDER):
+            leaf = ("deconv",) if len(path) == 1 and path[0].startswith(
+                "d") and not path[0].startswith("head") else ()
+            conv(f"conv2d_transpose_{ct_offset + i + 1}", path + leaf,
+                 transpose=True)
+
+    variables = {"params": params, "batch_stats": stats}
+    if model is not None:
+        _check_shapes(model, variables)
+    return variables
+
+
+def _check_shapes(model, variables):
+    import jax
+    import jax.numpy as jnp
+
+    ref = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 128, 128, 3))))
+    flat_ref = dict(jax.tree_util.tree_flatten_with_path(ref)[0])
+    flat_got = dict(jax.tree_util.tree_flatten_with_path(variables)[0])
+    missing = set(map(str, flat_ref)) - set(map(str, flat_got))
+    if missing:
+        raise ValueError(f"hdf5 import missing params: {sorted(missing)}")
+    for k, v in flat_ref.items():
+        got = flat_got.get(k)
+        if got is not None and tuple(got.shape) != tuple(v.shape):
+            raise ValueError(
+                f"shape mismatch at {k}: {got.shape} != {v.shape}")

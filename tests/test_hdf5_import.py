@@ -1,0 +1,128 @@
+"""Keras HDF5 weight import: layer-level numerics vs torch (independent
+reference) + full-file structural import."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from pix2pose_tpu.utils import hdf5_import
+
+torch = pytest.importorskip("torch")
+
+
+def test_conv_same_stride2_matches_torch():
+    """flax/XLA SAME padding must equal TF/Keras 'same' (probed via torch
+    with explicit TF-style asymmetric padding)."""
+    rng = np.random.RandomState(0)
+    x = rng.normal(size=(1, 8, 8, 3)).astype(np.float32)
+    k = rng.normal(size=(5, 5, 3, 4)).astype(np.float32)
+    b = rng.normal(size=(4,)).astype(np.float32)
+
+    mdl = nn.Conv(4, (5, 5), strides=(2, 2), padding="SAME")
+    out = mdl.apply({"params": {"kernel": jnp.asarray(k),
+                                "bias": jnp.asarray(b)}}, jnp.asarray(x))
+
+    xt = torch.tensor(x.transpose(0, 3, 1, 2))
+    xt = torch.nn.functional.pad(xt, (1, 2, 1, 2))  # TF SAME for even in
+    wt = torch.tensor(k.transpose(3, 2, 0, 1))
+    ot = torch.nn.functional.conv2d(xt, wt, torch.tensor(b), stride=2)
+    ref = ot.numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
+
+
+def test_conv_transpose_kernel_mapping_matches_torch():
+    """Keras Conv2DTranspose == torch ConvTranspose2d(pad=2, out_pad=1) for
+    k5/s2/'same'; our _kernel_ct mapping must make flax agree."""
+    rng = np.random.RandomState(1)
+    x = rng.normal(size=(1, 8, 8, 3)).astype(np.float32)
+    k_keras = rng.normal(size=(5, 5, 4, 3)).astype(np.float32)  # (kh,kw,out,in)
+    b = rng.normal(size=(4,)).astype(np.float32)
+
+    # torch reference (same math as TF conv2d_transpose)
+    xt = torch.tensor(x.transpose(0, 3, 1, 2))
+    wt = torch.tensor(k_keras.transpose(3, 2, 0, 1))  # (in,out,kh,kw)
+    ot = torch.nn.functional.conv_transpose2d(
+        xt, wt, torch.tensor(b), stride=2, padding=2, output_padding=1)
+    ref = ot.numpy().transpose(0, 2, 3, 1)
+    assert ref.shape == (1, 16, 16, 4)
+
+    mdl = nn.ConvTranspose(4, (5, 5), strides=(2, 2),
+                           padding=((2, 3), (2, 3)))
+    k_flax = hdf5_import._kernel_ct(k_keras)
+    out = mdl.apply({"params": {"kernel": jnp.asarray(k_flax),
+                                "bias": jnp.asarray(b)}}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
+
+
+def _write_fake_keras_generator(path):
+    """Synthesize an HDF5 with the reference paper-generator layer layout
+    and random weights."""
+    import h5py
+
+    rng = np.random.RandomState(2)
+
+    def w(shape):
+        return rng.normal(scale=0.05, size=shape).astype(np.float32)
+
+    enc_in = {"conv1_1": 3, "conv1_2": 3, "conv2_1": 128, "conv2_2": 128,
+              "conv3_1": 256, "conv3_2": 256, "conv4_1": 256,
+              "conv4_2": 256}
+    enc_out = {"conv1_1": 64, "conv1_2": 64, "conv2_1": 128,
+               "conv2_2": 128, "conv3_1": 128, "conv3_2": 128,
+               "conv4_1": 256, "conv4_2": 256}
+    dec_convs = {"deconv1": (384, 256), "deconv2": (256, 256),
+                 "deconv3": (128, 128)}
+    bn_ch = [64, 64, 128, 128, 128, 128, 256, 256,
+             256, 256, 128, 256, 64, 128]
+    ct = [(256, 256), (256, 128), (256, 64), (128, 3), (128, 1)]  # (in,out)
+
+    with h5py.File(path, "w") as f:
+        def layer(name, weights):
+            g = f.create_group(name)
+            for wname, arr in weights.items():
+                g.create_dataset(f"{name}/{wname}:0", data=arr)
+
+        for n in enc_in:
+            layer(n, {"kernel": w((5, 5, enc_in[n], enc_out[n])),
+                      "bias": w((enc_out[n],))})
+        for n, (i, o) in dec_convs.items():
+            layer(n, {"kernel": w((5, 5, i, o)), "bias": w((o,))})
+        for i, c in enumerate(bn_ch):
+            layer(f"batch_normalization_{i + 1}",
+                  {"gamma": np.abs(w((c,))) + 0.5, "beta": w((c,)),
+                   "moving_mean": w((c,)),
+                   "moving_variance": np.abs(w((c,))) + 0.5})
+        layer("dense_1", {"kernel": w((8 * 8 * 512, 256)),
+                          "bias": w((256,))})
+        layer("dense_2", {"kernel": w((256, 8 * 8 * 256)),
+                          "bias": w((8 * 8 * 256,))})
+        for i, (cin, cout) in enumerate(ct):
+            layer(f"conv2d_transpose_{i + 1}",
+                  {"kernel": w((5, 5, cout, cin)), "bias": w((cout,))})
+
+
+def test_full_generator_import_runs(tmp_path):
+    from pix2pose_tpu.models import build_generator
+
+    h5 = tmp_path / "inference.hdf5"
+    _write_fake_keras_generator(h5)
+    model = build_generator("paper")
+    variables = hdf5_import.load_keras_generator(str(h5), model)
+    xyz, prob = model.apply(variables, jnp.zeros((2, 128, 128, 3)))
+    assert xyz.shape == (2, 128, 128, 3)
+    assert prob.shape == (2, 128, 128, 1)
+    assert np.isfinite(np.asarray(xyz)).all()
+    # offsets: keras numbering continues across graphs in one process
+    import h5py, shutil
+    h5b = tmp_path / "inference_obj2.hdf5"
+    shutil.copy(h5, h5b)
+    with h5py.File(h5b, "r+") as f:
+        for i in range(14, 0, -1):
+            f.move(f"batch_normalization_{i}",
+                   f"batch_normalization_{i + 14}")
+    v2 = hdf5_import.load_keras_generator(str(h5b), model)
+    xyz2, _ = model.apply(v2, jnp.zeros((1, 128, 128, 3)))
+    assert np.isfinite(np.asarray(xyz2)).all()
