@@ -18,7 +18,8 @@ from test_rasterizer import cube_mesh
 
 
 def build_cube_dataset(root, n_scenes=1, ims_per_scene=2, half=40.0,
-                       im_h=480, im_w=640, xyz_colored=True):
+                       im_h=480, im_w=640, xyz_colored=True,
+                       split="test"):
     """Create dataset 'cubes' under root. The test RGB images are unlit
     XYZ-color renders, so an identity 'oracle' network yields exact
     correspondences. Returns list of (scene_id, im_id, R, t)."""
@@ -53,7 +54,7 @@ def build_cube_dataset(root, n_scenes=1, ims_per_scene=2, half=40.0,
     targets = []
     rng = np.random.RandomState(7)
     for s in range(n_scenes):
-        sdir = os.path.join(ds_dir, "test", f"{s:06d}")
+        sdir = os.path.join(ds_dir, split, f"{s:06d}")
         os.makedirs(os.path.join(sdir, "rgb"), exist_ok=True)
         os.makedirs(os.path.join(sdir, "depth"), exist_ok=True)
         os.makedirs(os.path.join(sdir, "mask_visib"), exist_ok=True)

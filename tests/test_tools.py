@@ -1,0 +1,72 @@
+"""Data-prep tools: model colorizer and training-pair renderer end-to-end
+on the synthetic cube dataset, feeding the on-device training pipeline."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from pix2pose_tpu.data import BopDataset, load_ply
+from pix2pose_tpu.tools.colorize_models import colorize_dataset
+from pix2pose_tpu.tools.render_training_pairs import render_object_pairs
+from bop_fixture import build_cube_dataset
+
+
+@pytest.fixture(scope="module")
+def train_ds(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("bop_train"))
+    entries = build_cube_dataset(root, n_scenes=1, ims_per_scene=4,
+                                 split="train")
+    return root, entries
+
+
+def test_colorize_models(train_ds):
+    root, _ = train_ds
+    ds = BopDataset(root, "cubes", train=True)
+    params = colorize_dataset(ds)
+    assert 1 in params
+    assert params[1]["x_scale"] == pytest.approx(40.0, rel=1e-5)
+    assert params[1]["x_ct"] == pytest.approx(0.0, abs=1e-4)
+    m = load_ply(os.path.join(ds.dir, "models_xyz", "obj_000001.ply"))
+    assert "colors" in m
+    # corner (-h,-h,-h) -> color 0, corner (h,h,h) -> color 255
+    i_min = np.argmin(m["pts"].sum(axis=1))
+    i_max = np.argmax(m["pts"].sum(axis=1))
+    assert (m["colors"][i_min] <= 1).all()
+    assert (m["colors"][i_max] >= 254).all()
+
+
+def test_render_training_pairs_and_pipeline(train_ds, tmp_path):
+    root, entries = train_ds
+    ds = BopDataset(root, "cubes", train=True)
+    n = render_object_pairs(ds, 1)
+    assert n == 4
+    out_dir = os.path.join(ds.dir, "train_xyz", "01")
+    files = [f for f in os.listdir(out_dir) if f.endswith(".npy")]
+    assert len(files) == 4
+    arr = np.load(os.path.join(out_dir, files[0]))
+    assert arr.shape[2] == 6
+    assert max(arr.shape[:2]) <= 128
+    # since the scene rgb IS the xyz render, the two halves must agree on
+    # the object (gray background outside)
+    obj = arr[..., 3:6].sum(axis=2) > 0
+    diff = np.abs(arr[..., :3].astype(int) - arr[..., 3:6].astype(int))
+    assert np.median(diff[obj]) <= 2
+    meta = json.load(open(os.path.join(out_dir, "meta.json")))
+    assert meta["rotation_lock"] is False
+
+    # feed the on-device pipeline
+    from PIL import Image
+    back_dir = tmp_path / "backs"
+    os.makedirs(back_dir)
+    rng = np.random.RandomState(0)
+    Image.fromarray(rng.randint(0, 255, (80, 80, 3)).astype(
+        np.uint8)).save(back_dir / "b.png")
+    import jax
+    from pix2pose_tpu.training.data import PatchStore, make_batch
+    store = PatchStore.load(out_dir, str(back_dir))
+    assert store.n_data == 4
+    b = make_batch(store, jax.random.PRNGKey(0), 0, batch_size=4)
+    assert b["src"].shape == (4, 128, 128, 3)
+    assert float(np.asarray(b["prob_gt"]).mean()) > 0.02
