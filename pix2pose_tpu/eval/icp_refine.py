@@ -1,0 +1,121 @@
+"""Per-hypothesis depth refinement + depth-consistency scoring.
+
+Device-side core of the RGB-D evaluator (reference
+``tools/5_evaluation_bop_icp3d.py:41-94,314-315,477-491``): render the mesh
+at the hypothesis pose, lift rendered+sensor depth to clouds, centroid
+pre-alignment, point-to-plane ICP (replacing ``cv2.ppf_match_3d_ICP``),
+re-render, and score by per-pixel depth agreement
+``score = sum(max(0, 0.02 - |dz|)) / 0.02`` over the detection mask.
+
+The whole chain is one jitted program per object mesh; clouds are
+fixed-size masked samples so everything vmaps/jits with static shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pix2pose_tpu.ops import geometry, icp, rasterizer
+
+
+class RefineOut(NamedTuple):
+    R: jnp.ndarray        # (3,3) refined rotation
+    t_mm: jnp.ndarray     # (3,) refined translation, mm
+    score: jnp.ndarray    # () depth-consistency fcn (unweighted by det)
+    ratio: jnp.ndarray    # () inlier-pixel fraction of the union mask
+    inlier_mask: jnp.ndarray  # (H,W) bool, |dz| < 0.02 within union
+    ok: jnp.ndarray       # () bool
+
+
+def _sample_masked(key, mask_flat, n_sample):
+    """Indices of up to n_sample true entries (Gumbel top-k)."""
+    g = jax.random.gumbel(key, mask_flat.shape)
+    score = jnp.where(mask_flat, g, -jnp.inf)
+    _, idx = jax.lax.top_k(score, n_sample)
+    valid = jnp.take(mask_flat, idx)
+    return idx, valid
+
+
+def make_icp_refiner(verts_m, faces, im_h: int, im_w: int,
+                     n_src: int = 1024, n_tgt: int = 4096,
+                     icp_iters: int = 30):
+    """Build the jitted refine+score function for one object mesh
+    (vertices in meters)."""
+    verts_m = jnp.asarray(verts_m, jnp.float32)
+    faces = jnp.asarray(faces, jnp.int32)
+
+    @functools.partial(jax.jit)
+    def refine(R, t_mm, cam_k, union_mask, depth_m, tgt_pts, tgt_normals,
+               key):
+        """Args:
+          R, t_mm: initial pose (mm).
+          cam_k: (3,3).
+          union_mask: (H,W) bool — detection mask ∧ valid depth
+            (``icp3d:455-456``).
+          depth_m: (H,W) sensor depth in meters.
+          tgt_pts/tgt_normals: (H,W,3) precomputed sensor cloud + normals
+            (meters; ``icp3d:372-374``).
+        """
+        k1, k2 = jax.random.split(key)
+        # translation sanity reset (``icp3d:61-62``)
+        tgt_flat = tgt_pts.reshape(-1, 3)
+        um_flat = union_mask.reshape(-1)
+        n_um = jnp.maximum(jnp.sum(um_flat), 1)
+        centroid_tgt = jnp.sum(
+            jnp.where(um_flat[:, None], tgt_flat, 0.0), 0) / n_um
+        bad_t = (t_mm[2] < 300.0) | (t_mm[2] > 5000.0)
+        t_mm = jnp.where(bad_t, centroid_tgt * 1000.0, t_mm)
+
+        # render at the initial pose (depth in meters)
+        t_m = t_mm / 1000.0
+        depth_init, mask_init = rasterizer.render_depth(
+            verts_m, faces, R, t_m, cam_k, im_h, im_w)
+        init_mask = mask_init & union_mask
+        enough = jnp.sum(init_mask) >= 10  # ``icp3d:73-76``
+
+        # source cloud: rendered depth + normals within the mask
+        src_pts_full = geometry.backproject(depth_init, cam_k)
+        src_flat = src_pts_full.reshape(-1, 3)
+        sidx, svalid = _sample_masked(k1, init_mask.reshape(-1), n_src)
+        src = jnp.take(src_flat, sidx, axis=0)
+
+        # centroid pre-alignment (``icp3d:82-86``)
+        n_sv = jnp.maximum(jnp.sum(svalid), 1)
+        centroid_src = jnp.sum(
+            jnp.where(svalid[:, None], src, 0.0), 0) / n_sv
+        shift = centroid_tgt - centroid_src
+        src = src + shift
+        t_mm = t_mm + shift * 1000.0
+
+        # target cloud sample
+        tidx, tvalid = _sample_masked(k2, um_flat & (
+            depth_m.reshape(-1) > 0), n_tgt)
+        tgt = jnp.take(tgt_flat, tidx, axis=0)
+        tgt_n = jnp.take(tgt_normals.reshape(-1, 3), tidx, axis=0)
+
+        res = icp.icp_point_to_plane(src, tgt, tgt_n, src_valid=svalid,
+                                     tgt_valid=tvalid, iters=icp_iters)
+        # compose: x_tgt = dR (R x + t) + dt (``icp3d:91-93``)
+        R_ref = res.R @ R
+        t_ref_mm = (res.R @ (t_mm / 1000.0) + res.t) * 1000.0
+        use = res.ok & enough
+        R_ref = jnp.where(use, R_ref, R)
+        t_ref_mm = jnp.where(use, t_ref_mm, t_mm)
+
+        # re-render + depth-consistency score (``icp3d:471-491``)
+        depth_ref, _ = rasterizer.render_depth(
+            verts_m, faces, R_ref, t_ref_mm / 1000.0, cam_k, im_h, im_w)
+        dz = jnp.abs(depth_ref - depth_m)
+        in_union = union_mask & (depth_m > 0)
+        inlier = in_union & (dz < 0.02) & (depth_ref > 0)
+        fcn = jnp.sum(
+            jnp.where(in_union, jnp.maximum(0.0, 0.02 - dz), 0.0)) / 0.02
+        ratio = jnp.sum(inlier) / jnp.maximum(jnp.sum(in_union), 1)
+        return RefineOut(R=R_ref, t_mm=t_ref_mm, score=fcn, ratio=ratio,
+                         inlier_mask=inlier, ok=use & enough)
+
+    return refine

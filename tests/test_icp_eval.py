@@ -1,0 +1,108 @@
+"""RGB-D evaluator with ICP on the synthetic cube dataset: refined poses
+must beat (or match) the RGB-only poses against GT."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pix2pose_tpu.config import EvalConfig
+from pix2pose_tpu.data import BopDataset
+from pix2pose_tpu.eval.bop_eval_icp import BopEvaluatorICP
+from pix2pose_tpu.eval.icp_refine import make_icp_refiner
+from pix2pose_tpu.inference import Pix2PoseEstimator
+from pix2pose_tpu.inference.detector import GtDetector
+from pix2pose_tpu.ops import geometry
+from bop_fixture import build_cube_dataset
+from synthetic import CAM_K, OracleGenerator, pose_with_euler
+from test_rasterizer import cube_mesh
+
+
+def rot_err_deg(Ra, Rb):
+    c = (np.trace(Ra.T @ Rb) - 1) / 2
+    return np.degrees(np.arccos(np.clip(c, -1, 1)))
+
+
+def test_icp_refiner_improves_perturbed_pose():
+    verts, faces = cube_mesh(40.0)
+    R, t = pose_with_euler()
+    # render GT depth (meters)
+    from pix2pose_tpu.ops import rasterizer
+    depth_mm, mask = rasterizer.render_depth(verts, faces, R, t, CAM_K,
+                                             480, 640)
+    depth = np.asarray(depth_mm) / 1000.0
+    tgt_pts = geometry.backproject(jnp.asarray(depth), CAM_K)
+    tgt_n = geometry.normals_from_depth(jnp.asarray(depth), CAM_K,
+                                        refine=True)
+    union = np.asarray(mask)
+
+    # perturb the pose
+    from scipy.spatial.transform import Rotation
+    dR = Rotation.from_euler("xyz", [0.05, -0.04, 0.06]).as_matrix()
+    R0 = (dR @ R).astype(np.float32)
+    t0 = t + np.array([8.0, -6.0, 15.0], np.float32)
+
+    refine = make_icp_refiner(verts / 1000.0, faces, 480, 640)
+    out = refine(jnp.asarray(R0), jnp.asarray(t0), CAM_K,
+                 jnp.asarray(union), jnp.asarray(depth), tgt_pts, tgt_n,
+                 jax.random.PRNGKey(0))
+    assert bool(out.ok)
+    err0 = rot_err_deg(R0, R)
+    err1 = rot_err_deg(np.asarray(out.R), R)
+    assert err1 < err0 * 0.5, (err0, err1)
+    t_err0 = np.linalg.norm(t0 - t)
+    t_err1 = np.linalg.norm(np.asarray(out.t_mm) - t)
+    assert t_err1 < t_err0 * 0.5, (t_err0, t_err1)
+    assert float(out.ratio) > 0.7
+    assert float(out.score) > 0
+
+
+def test_icp_refiner_translation_sanity_reset():
+    verts, faces = cube_mesh(40.0)
+    R, t = pose_with_euler()
+    from pix2pose_tpu.ops import rasterizer
+    depth_mm, mask = rasterizer.render_depth(verts, faces, R, t, CAM_K,
+                                             480, 640)
+    depth = np.asarray(depth_mm) / 1000.0
+    tgt_pts = geometry.backproject(jnp.asarray(depth), CAM_K)
+    tgt_n = geometry.normals_from_depth(jnp.asarray(depth), CAM_K,
+                                        refine=True)
+    refine = make_icp_refiner(verts / 1000.0, faces, 480, 640)
+    # absurd depth triggers reset to the target centroid (icp3d:61-62)
+    t_bad = np.array([0.0, 0.0, 9999.0], np.float32)
+    out = refine(jnp.asarray(R), jnp.asarray(t_bad), CAM_K,
+                 jnp.asarray(np.asarray(mask)), jnp.asarray(depth),
+                 tgt_pts, tgt_n, jax.random.PRNGKey(1))
+    # after reset + centroid alignment + ICP the depth must be plausible
+    assert 300.0 < float(out.t_mm[2]) < 1200.0
+
+
+@pytest.fixture(scope="module")
+def icp_pipeline(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("bop_icp"))
+    entries = build_cube_dataset(root, n_scenes=1, ims_per_scene=2)
+    ds = BopDataset(root, "cubes", train=False)
+    cfg = EvalConfig(dataset_dir=root, score_type=2, task_type=2,
+                     cand_factor=1.0, outlier_th=(0.1, 0.2, 0.3),
+                     inlier_th=0.1)
+    model = OracleGenerator()
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+    est = Pix2PoseEstimator(model, cfg.estimator(0))
+    obj_param = np.array([40.0, 40.0, 40.0, 0.0, 0.0, 0.0], np.float32)
+    verts, faces = cube_mesh(40.0)
+    ev = BopEvaluatorICP(ds, cfg, est, {1: params}, {1: obj_param},
+                         {1: (verts, faces)}, GtDetector(ds, jitter=4),
+                         max_det=2)
+    return root, entries, ev
+
+
+def test_rgbd_eval_end_to_end(icp_pipeline):
+    root, entries, ev = icp_pipeline
+    results = ev.run(out_dir=root)
+    assert len(results) >= len(entries)
+    gt = {(s, i): (R, t) for s, i, R, t in entries}
+    for r in results:
+        R_gt, t_gt = gt[(r["scene_id"], r["im_id"])]
+        assert rot_err_deg(r["R"], R_gt) < 5.0
+        # ICP-refined translation should be accurate to a few mm
+        assert np.linalg.norm(r["t"] - t_gt) < 15.0
