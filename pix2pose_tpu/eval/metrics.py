@@ -1,0 +1,323 @@
+"""BOP pose-error metrics and Average Recall, in-repo.
+
+The reference computes NO metrics itself — result CSVs are scored offline by
+the external ``bop_toolkit`` (SURVEY.md §4: "external metric harness",
+reference ``README.md:48,112``). For a self-contained framework we
+implement the BOP'19 protocol natively:
+
+- VSD (visible surface discrepancy): depth renders of both poses via the
+  JAX rasterizer, visibility w.r.t. the sensor depth with delta=15mm,
+  misfit tolerance tau; recall over tau in {5..50%} of diameter x theta in
+  {0.05..0.5}.
+- MSSD (maximum symmetry-aware surface distance): min over the symmetry
+  pool of the max vertex distance; recall over theta in {5..50%} diameter.
+- MSPD (maximum symmetry-aware projection distance): same in pixels;
+  recall over theta in {5r..50r}, r = im_w / 640.
+- AR = mean of the three per-metric recalls (BOP'19 definition).
+- Plus classic ADD / ADD-S for LineMOD-style reporting.
+
+Distance kernels are jitted/vmapped over the symmetry pool; the matching
+harness (greedy by score against GT instances, top-n per target) runs on
+host.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pix2pose_tpu.ops import rasterizer
+
+
+# ---------------------------------------------------------------------------
+# distance kernels
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def add_metric(pts, R_est, t_est, R_gt, t_gt):
+    """ADD: mean vertex distance (mm)."""
+    a = pts @ R_est.T + t_est
+    b = pts @ R_gt.T + t_gt
+    return jnp.mean(jnp.linalg.norm(a - b, axis=1))
+
+
+@jax.jit
+def adi_metric(pts, R_est, t_est, R_gt, t_gt):
+    """ADD-S / ADI: mean nearest-neighbor distance (mm), symmetric
+    objects."""
+    a = pts @ R_est.T + t_est
+    b = pts @ R_gt.T + t_gt
+    d2 = (jnp.sum(a ** 2, 1)[:, None] - 2 * a @ b.T
+          + jnp.sum(b ** 2, 1)[None, :])
+    return jnp.mean(jnp.sqrt(jnp.maximum(jnp.min(d2, axis=1), 0.0)))
+
+
+@jax.jit
+def mssd_metric(pts, sym_pool, R_est, t_est, R_gt, t_gt):
+    """min over symmetries of max vertex distance (mm)."""
+    a = pts @ R_est.T + t_est
+
+    def per_sym(S):
+        b = (pts @ S.T) @ R_gt.T + t_gt
+        return jnp.max(jnp.linalg.norm(a - b, axis=1))
+
+    return jnp.min(jax.vmap(per_sym)(sym_pool))
+
+
+@jax.jit
+def mspd_metric(pts, sym_pool, K, R_est, t_est, R_gt, t_gt):
+    """min over symmetries of max projected distance (px)."""
+
+    def proj(p):
+        z = jnp.maximum(p[:, 2], 1e-9)
+        u = K[0, 0] * p[:, 0] / z + K[0, 2]
+        v = K[1, 1] * p[:, 1] / z + K[1, 2]
+        return jnp.stack([u, v], 1)
+
+    a = proj(pts @ R_est.T + t_est)
+
+    def per_sym(S):
+        b = proj((pts @ S.T) @ R_gt.T + t_gt)
+        return jnp.max(jnp.linalg.norm(a - b, axis=1))
+
+    return jnp.min(jax.vmap(per_sym)(sym_pool))
+
+
+def make_vsd(verts_mm, faces, im_h: int, im_w: int, delta_mm: float = 15.0):
+    """Build a jitted VSD(e | taus) evaluator for one mesh.
+
+    Returns fn(R_est, t_est_mm, R_gt, t_gt_mm, K, scene_depth_mm, taus_mm)
+    -> (n_tau,) errors in [0, 1]."""
+    verts = jnp.asarray(verts_mm, jnp.float32)
+    faces = jnp.asarray(faces, jnp.int32)
+
+    @jax.jit
+    def vsd(R_est, t_est, R_gt, t_gt, K, depth_scene, taus):
+        d_est, m_est = rasterizer.render_depth(verts, faces, R_est, t_est,
+                                               K, im_h, im_w)
+        d_gt, m_gt = rasterizer.render_depth(verts, faces, R_gt, t_gt, K,
+                                             im_h, im_w)
+        has_scene = depth_scene > 0
+        # visibility: rendered surface within delta in front of the scene
+        # depth (or no scene measurement -> visible)
+        vis_est = m_est & (~has_scene | (d_est < depth_scene + delta_mm))
+        vis_gt = m_gt & (~has_scene | (d_gt < depth_scene + delta_mm))
+        union = vis_est | vis_gt
+        inter = vis_est & vis_gt
+        dist = jnp.abs(d_est - d_gt)
+        n_union = jnp.maximum(jnp.sum(union), 1)
+
+        def err_for(tau):
+            ok = inter & (dist <= tau)
+            return 1.0 - jnp.sum(ok) / n_union
+
+        return jax.vmap(err_for)(taus)
+
+    return vsd
+
+
+# ---------------------------------------------------------------------------
+# AR harness
+# ---------------------------------------------------------------------------
+
+_THETAS = np.arange(0.05, 0.51, 0.05)  # VSD theta / rel-diameter fractions
+_TAU_FRACS = np.arange(0.05, 0.51, 0.05)  # VSD tau as diameter fraction
+_MSPD_R = np.arange(5, 51, 5)  # px at 640-width
+
+
+@functools.lru_cache(maxsize=None)
+def _subsample_idx(n, target):
+    if n <= target:
+        return np.arange(n)
+    return np.linspace(0, n - 1, target).astype(np.int64)
+
+
+def evaluate_bop(results, dataset, target_list=None, metrics=("vsd",
+                                                              "mssd",
+                                                              "mspd"),
+                 n_pts: int = 2000, verbose: bool = False) -> dict:
+    """Score BOP-format results against dataset GT.
+
+    Args:
+      results: list of result dicts (scene_id, im_id, obj_id, score, R, t).
+      dataset: :class:`BopDataset` (test split).
+      target_list: optional target list; defaults to all GT instances of
+        the images present in ``results``.
+
+    Returns:
+      {"AR": float, "AR_vsd": ..., "AR_mssd": ..., "AR_mspd": ...,
+       per-object recalls}.
+    """
+    from collections import defaultdict
+
+    from pix2pose_tpu.data.ply import load_ply
+
+    by_image = defaultdict(list)
+    for r in results:
+        by_image[(r["scene_id"], r["im_id"])].append(r)
+
+    meshes, sym_pools, diams, vsd_fns = {}, {}, {}, {}
+    im_w, im_h = dataset.im_size
+    r_px = im_w / 640.0
+
+    def get_mesh(obj_id):
+        if obj_id not in meshes:
+            m = load_ply(dataset.model_ply_path(obj_id))
+            idx = _subsample_idx(m["pts"].shape[0], n_pts)
+            meshes[obj_id] = (jnp.asarray(m["pts"][idx]),
+                              m["pts"], m["faces"])
+            pool = dataset.symmetry_pool(obj_id)
+            info = dataset.model_info(obj_id)
+            if "symmetries_continuous" in info:
+                axis = np.asarray(
+                    info["symmetries_continuous"][0]["axis"], np.float64)
+                from scipy.spatial.transform import Rotation
+                extra = [Rotation.from_rotvec(axis * a).as_matrix()
+                         for a in np.linspace(0, 2 * np.pi, 36,
+                                              endpoint=False)]
+                pool = np.concatenate(
+                    [pool, np.asarray(extra, np.float32)], axis=0)
+            sym_pools[obj_id] = jnp.asarray(pool)
+            diams[obj_id] = float(
+                dataset.model_info(obj_id).get("diameter", 0.0)) or float(
+                np.linalg.norm(m["pts"].max(0) - m["pts"].min(0)))
+            vsd_fns[obj_id] = make_vsd(m["pts"], m["faces"], im_h, im_w)
+        return meshes[obj_id]
+
+    # per-(image, object): greedy match estimates to GT instances
+    recalls = {m: [] for m in metrics}
+    per_obj = defaultdict(lambda: {m: [] for m in metrics})
+
+    if target_list is None:
+        target_list = []
+        for (s, i) in sorted(by_image.keys()):
+            gts = dataset.scene_gt(s).get(i, [])
+            objs = sorted({g["obj_id"] for g in gts})
+            target_list.append(
+                (s, i, objs,
+                 [sum(1 for g in gts if g["obj_id"] == o) for o in objs]))
+
+    cam_cache = {}
+    for scene_id, im_id, obj_ids, inst_counts in target_list:
+        if scene_id not in cam_cache:
+            cam_cache[scene_id] = (dataset.scene_camera(scene_id),
+                                   dataset.scene_gt(scene_id))
+        cams, gts_all = cam_cache[scene_id]
+        cam_k = cams[im_id]["cam_K"]
+        gts = gts_all.get(im_id, [])
+        ests_img = sorted(by_image.get((scene_id, im_id), []),
+                          key=lambda r: -r["score"])
+        depth_scene = None
+        if "vsd" in metrics:
+            try:
+                depth_scene = jnp.asarray(dataset.load_depth(
+                    scene_id, im_id, cams[im_id]["depth_scale"]) * 1000.0)
+            except FileNotFoundError:
+                depth_scene = jnp.zeros((im_h, im_w), jnp.float32)
+
+        for obj_id, n_inst in zip(obj_ids, inst_counts):
+            gt_list = [g for g in gts if g["obj_id"] == obj_id]
+            est_list = [r for r in ests_img
+                        if r["obj_id"] == obj_id][:n_inst]
+            pts_sub, pts_full, faces = get_mesh(obj_id)
+            pool = sym_pools[obj_id]
+            diam = diams[obj_id]
+            matched = set()
+            err_rows = {m: [] for m in metrics}
+            for est in est_list:
+                best = None
+                for gi, gt in enumerate(gt_list):
+                    if gi in matched:
+                        continue
+                    e = {}
+                    if "mssd" in metrics:
+                        e["mssd"] = float(mssd_metric(
+                            pts_sub, pool, est["R"], est["t"], gt["R"],
+                            gt["t"]))
+                    if "mspd" in metrics:
+                        e["mspd"] = float(mspd_metric(
+                            pts_sub, pool, cam_k, est["R"], est["t"],
+                            gt["R"], gt["t"]))
+                    if "vsd" in metrics:
+                        taus = jnp.asarray(_TAU_FRACS * diam, jnp.float32)
+                        e["vsd"] = np.asarray(vsd_fns[obj_id](
+                            est["R"], est["t"], gt["R"], gt["t"], cam_k,
+                            depth_scene, taus))
+                    rank = e.get("mssd", e.get("mspd",
+                                 float(np.mean(e.get("vsd", [1.0])))))
+                    if best is None or rank < best[1]:
+                        best = (gi, rank, e)
+                if best is not None:
+                    matched.add(best[0])
+                    for m in metrics:
+                        err_rows[m].append(best[2][m])
+            n_missed = len(gt_list) - len(err_rows[metrics[0]])
+            for m in metrics:
+                if m == "vsd":
+                    ths = _THETAS
+                    for err in err_rows[m]:
+                        rec = np.mean(err[None, :] < ths[:, None])
+                        recalls[m].append(rec)
+                        per_obj[obj_id][m].append(rec)
+                elif m == "mssd":
+                    ths = _THETAS * diam
+                    for err in err_rows[m]:
+                        rec = np.mean(err < ths)
+                        recalls[m].append(rec)
+                        per_obj[obj_id][m].append(rec)
+                elif m == "mspd":
+                    ths = _MSPD_R * r_px
+                    for err in err_rows[m]:
+                        rec = np.mean(err < ths)
+                        recalls[m].append(rec)
+                        per_obj[obj_id][m].append(rec)
+                recalls[m].extend([0.0] * n_missed)
+                per_obj[obj_id][m].extend([0.0] * n_missed)
+
+    out = {}
+    for m in metrics:
+        out[f"AR_{m}"] = float(np.mean(recalls[m])) if recalls[m] else 0.0
+    out["AR"] = float(np.mean([out[f"AR_{m}"] for m in metrics]))
+    out["per_object"] = {
+        o: {m: float(np.mean(v[m])) for m in metrics}
+        for o, v in per_obj.items()}
+    return out
+
+
+def add_recall(results, dataset, th_frac: float = 0.1, n_pts: int = 2000,
+               use_adi_for_sym: bool = True) -> float:
+    """Classic LineMOD ADD(-S) recall at ``th_frac`` x diameter."""
+    from pix2pose_tpu.data.ply import load_ply
+
+    ok, total = 0, 0
+    mesh_cache = {}
+    gt_cache = {}
+    for r in results:
+        obj_id = r["obj_id"]
+        if obj_id not in mesh_cache:
+            m = load_ply(dataset.model_ply_path(obj_id))
+            idx = _subsample_idx(m["pts"].shape[0], n_pts)
+            info = dataset.model_info(obj_id)
+            sym = ("symmetries_discrete" in info
+                   or "symmetries_continuous" in info)
+            diam = float(info.get("diameter", 0.0)) or float(
+                np.linalg.norm(m["pts"].max(0) - m["pts"].min(0)))
+            mesh_cache[obj_id] = (jnp.asarray(m["pts"][idx]), sym, diam)
+        pts, sym, diam = mesh_cache[obj_id]
+        if r["scene_id"] not in gt_cache:
+            gt_cache[r["scene_id"]] = dataset.scene_gt(r["scene_id"])
+        gts = [g for g in gt_cache[r["scene_id"]].get(r["im_id"], [])
+               if g["obj_id"] == obj_id]
+        if not gts:
+            continue
+        fn = adi_metric if (sym and use_adi_for_sym) else add_metric
+        err = min(float(fn(pts, r["R"], r["t"], g["R"], g["t"]))
+                  for g in gts)
+        ok += err < th_frac * diam
+        total += 1
+    return ok / max(total, 1)

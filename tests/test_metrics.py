@@ -1,0 +1,95 @@
+"""BOP metrics: analytic sanity (zero error at GT, symmetry invariance,
+threshold behavior) and AR harness on the cube dataset."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pix2pose_tpu.data import BopDataset
+from pix2pose_tpu.eval import metrics
+from bop_fixture import build_cube_dataset
+from synthetic import CAM_K, pose_with_euler
+from test_rasterizer import cube_mesh
+
+
+@pytest.fixture(scope="module")
+def cube():
+    verts, faces = cube_mesh(40.0)
+    return jnp.asarray(verts), verts, faces
+
+
+def test_add_zero_at_gt(cube):
+    pts, _, _ = cube
+    R, t = pose_with_euler()
+    assert float(metrics.add_metric(pts, R, t, R, t)) < 1e-4
+    assert float(metrics.adi_metric(pts, R, t, R, t)) < 1e-4
+
+
+def test_add_translation_offset(cube):
+    pts, _, _ = cube
+    R, t = pose_with_euler()
+    t2 = t + np.array([3.0, 0.0, 0.0], np.float32)
+    assert float(metrics.add_metric(pts, R, t2, R, t)) == pytest.approx(
+        3.0, rel=1e-4)
+
+
+def test_mssd_symmetry_invariance(cube):
+    pts, _, _ = cube
+    R, t = pose_with_euler()
+    rot180 = np.diag([-1.0, -1.0, 1.0]).astype(np.float32)
+    pool = jnp.asarray(np.stack([np.eye(3, dtype=np.float32), rot180]))
+    # estimate equals GT composed with the symmetry -> error ~0
+    R_est = (R @ rot180).astype(np.float32)
+    err = float(metrics.mssd_metric(pts, pool, R_est, t, R, t))
+    assert err < 1e-3
+    # without the symmetry in the pool the error is large
+    pool1 = jnp.asarray(np.eye(3, dtype=np.float32)[None])
+    err1 = float(metrics.mssd_metric(pts, pool1, R_est, t, R, t))
+    assert err1 > 50.0
+
+
+def test_mspd_projection_units(cube):
+    pts, _, _ = cube
+    R, t = pose_with_euler()
+    pool = jnp.asarray(np.eye(3, dtype=np.float32)[None])
+    # shift by one pixel worth of translation at depth z: du = fx*dx/z
+    dx = float(t[2]) / float(CAM_K[0, 0])
+    t2 = t + np.array([dx, 0, 0], np.float32)
+    err = float(metrics.mspd_metric(pts, pool, CAM_K, R, t2, R, t))
+    # max over vertices sees the NEAREST vertex: fx*dx/z_min in (1, ~1.2)
+    assert 1.0 <= err < 1.2
+
+
+def test_vsd_zero_at_gt_and_positive_offset(cube):
+    _, verts, faces = cube
+    R, t = pose_with_euler()
+    vsd = metrics.make_vsd(verts, faces, 240, 320)
+    K = np.asarray(CAM_K) / 2.0
+    K[2, 2] = 1.0
+    taus = jnp.asarray([5.0, 20.0], jnp.float32)
+    depth0 = jnp.zeros((240, 320), jnp.float32)
+    e0 = np.asarray(vsd(R, t, R, t, K, depth0, taus))
+    assert (e0 < 0.02).all()
+    t2 = t + np.array([0.0, 0.0, 15.0], np.float32)
+    e1 = np.asarray(vsd(R, t2, R, t, K, depth0, taus))
+    assert e1[0] > 0.5  # 15mm misfit >> 5mm tau
+    assert e1[1] < 0.5  # 20mm tau forgives the 15mm offset mostly
+
+
+def test_ar_harness_on_cube_dataset(tmp_path):
+    root = str(tmp_path)
+    entries = build_cube_dataset(root, n_scenes=1, ims_per_scene=2)
+    ds = BopDataset(root, "cubes", train=False)
+    perfect = [{"scene_id": s, "im_id": i, "obj_id": 1, "score": 1.0,
+                "R": R, "t": t} for s, i, R, t in entries]
+    out = metrics.evaluate_bop(perfect, ds)
+    assert out["AR"] > 0.97, out
+    # heavily wrong poses -> low AR
+    bad = [dict(r, R=np.eye(3, dtype=np.float32),
+                t=r["t"] + np.array([200, 200, 400], np.float32))
+           for r in perfect]
+    out_bad = metrics.evaluate_bop(bad, ds)
+    assert out_bad["AR"] < 0.2, out_bad
+    # ADD recall
+    assert metrics.add_recall(perfect, ds) == 1.0
+    assert metrics.add_recall(bad, ds) == 0.0
