@@ -23,7 +23,7 @@ from pix2pose_tpu.ops.boxes import CropBox
 
 
 def _axis_weights(n_src: int, lo_ori, lo, hi, canvas_len, out_size: int,
-                  antialias: bool = True):
+                  antialias: bool = True, support: int = 24):
     """(out_size, n_src) sampling matrix for one axis.
 
     Maps image coordinates (axis length ``n_src``) through the virtual canvas
@@ -31,6 +31,14 @@ def _axis_weights(n_src: int, lo_ori, lo, hi, canvas_len, out_size: int,
     triangle (linear-interpolation) kernel widened to the downscale factor
     when ``antialias`` — same family of kernel the reference's skimage resize
     uses for its bilinear pass.
+
+    Normalization is the EXACT discrete kernel mass over the canvas support
+    (computed on a small ±``support`` window around each center): the
+    discrete triangle-kernel sum ripples ±2.5% with the center's fractional
+    position, so a continuous-integral approximation leaves a sawtooth bias
+    in the resampled values. Mass inside the canvas but outside the image
+    window stays in the denominator (the pasted zeros); mass outside the
+    canvas is dropped.
     """
     src = jnp.arange(n_src, dtype=jnp.float32)
     c = src - jnp.asarray(lo_ori, jnp.float32)  # canvas coordinate of each src px
@@ -46,15 +54,12 @@ def _axis_weights(n_src: int, lo_ori, lo, hi, canvas_len, out_size: int,
     valid = (src >= lo) & (src < hi)  # inside the clamped image window
     k = k * valid[None, :].astype(k.dtype)
 
-    # Kernel mass inside the canvas [0, length): continuous-integral
-    # approximation. Mass outside the *canvas* is dropped (mirrors skimage's
-    # reflect handling of a mostly-zero border); mass inside the canvas but
-    # outside the image window stays in the denominator (the pasted zeros).
-    dl = center + 0.5
-    dr = (length - 0.5) - center
-    tail = lambda dist: jnp.maximum(0.0, s - dist) ** 2 / (2.0 * s * s)
-    denom = jnp.maximum(1.0 - tail(dl) - tail(dr), 1e-6)
-    return k / denom[:, None]
+    m = jnp.arange(-support, support + 1, dtype=jnp.float32)
+    cpos = jnp.floor(center)[:, None] + m[None, :]  # (out, 2*support+1)
+    kf = jnp.maximum(0.0, 1.0 - jnp.abs(cpos - center[:, None]) / s) / s
+    in_canvas = (cpos >= 0.0) & (cpos <= length - 1.0)
+    denom = jnp.sum(kf * in_canvas.astype(kf.dtype), axis=1)
+    return k / jnp.maximum(denom, 1e-6)[:, None]
 
 
 def crop_resize(image, box: CropBox, out_size: int = 128,

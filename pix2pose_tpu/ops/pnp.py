@@ -90,9 +90,13 @@ def _pose_from_p(p_vec, obj_mean, obj_scale, sample_pts, K):
 
 
 def _gauss_newton_refine(R, t, obj_pts, img_pts, w, K, iters: int = 8,
-                         damping: float = 1e-6):
+                         damping: float = 1e-6, huber_px: float = 2.0):
     """Fixed-iteration damped Gauss-Newton on pixel reprojection error,
-    parametrized by se(3)-style increments (omega, dt) with R <- exp(w)R."""
+    parametrized by se(3)-style increments (omega, dt) with R <- exp(w)R.
+
+    Residuals beyond ``huber_px`` get Huber-downweighted (IRLS), which
+    suppresses the blur-corrupted silhouette correspondences that sit just
+    inside the RANSAC inlier band."""
 
     def rodrigues(omega):
         th = jnp.linalg.norm(omega) + 1e-12
@@ -130,7 +134,9 @@ def _gauss_newton_refine(R, t, obj_pts, img_pts, w, K, iters: int = 8,
         ], 1)
         J_w = jnp.einsum("nij,njk->nik", duv_dp, neg_px)  # (N,2,3)
         J = jnp.concatenate([J_w, duv_dp], axis=-1)  # (N,2,6)
-        wn = w[:, None, None]
+        r_norm = jnp.linalg.norm(r, axis=-1)
+        huber = jnp.minimum(1.0, huber_px / jnp.maximum(r_norm, 1e-9))
+        wn = (w * huber)[:, None, None]
         JtJ = jnp.einsum("nri,nrj->ij", J * wn, J)
         Jtr = jnp.einsum("nri,nr->i", J * wn, r)
         delta = jnp.linalg.solve(JtJ + damping * jnp.eye(6), -Jtr)
@@ -232,6 +238,20 @@ def pnp_ransac(obj_pts, img_pts, valid, K, key, *, iters: int = 100,
     ref_ok = jnp.all(jnp.isfinite(R_ref)) & jnp.all(jnp.isfinite(t_ref))
     R_ref = jnp.where(ref_ok, R_ref, R_fit)
     t_ref = jnp.where(ref_ok, t_ref, t_fit)
+
+    # progressive tightening: re-select the consensus at half the band and
+    # polish again — kills the wide-band scale drift that 5px tolerates on
+    # small objects (boundary pixels stay within 5px for quite-wrong depth)
+    err_t = jnp.linalg.norm(project(obj_pts, R_ref, t_ref, K) - img_pts,
+                            axis=-1)
+    w_tight = ((err_t < 0.5 * reproj_px) & valid).astype(jnp.float32)
+    tight_ok = jnp.sum(w_tight) >= min_pts
+    w2 = jnp.where(tight_ok, w_tight, w_fit)
+    R_t2, t_t2 = _gauss_newton_refine(R_ref, t_ref, obj_pts, img_pts, w2,
+                                      K, iters=refine_iters // 2 + 1)
+    good2 = jnp.all(jnp.isfinite(R_t2)) & jnp.all(jnp.isfinite(t_t2))
+    R_ref = jnp.where(good2, R_t2, R_ref)
+    t_ref = jnp.where(good2, t_t2, t_ref)
 
     # recount inliers with the refined pose (matches OpenCV's returned set)
     err_f = jnp.linalg.norm(project(obj_pts, R_ref, t_ref, K) - img_pts,

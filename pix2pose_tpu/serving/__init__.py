@@ -1,0 +1,3 @@
+"""Streaming serving layer (the reference's ROS node, L7)."""
+
+from pix2pose_tpu.serving.service import PoseService, ServingConfig  # noqa: F401

@@ -53,8 +53,8 @@ def test_eval_produces_accurate_csv(pipeline):
     gt = {(s, i): (R, t) for s, i, R, t in entries}
     for r in back:
         R_gt, t_gt = gt[(r["scene_id"], r["im_id"])]
-        assert rot_err_deg(r["R"], R_gt) < 5.0, (r["scene_id"], r["im_id"])
-        assert np.linalg.norm(r["t"] - t_gt) < 0.06 * t_gt[2]
+        assert rot_err_deg(r["R"], R_gt) < 2.0, (r["scene_id"], r["im_id"])
+        assert np.linalg.norm(r["t"] - t_gt) < 0.02 * t_gt[2]
         assert 0.0 < r["score"] <= 1.0
 
 

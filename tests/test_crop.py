@@ -82,6 +82,27 @@ def test_crop_resize_batch_vmap():
                                atol=1e-5)
 
 
+def test_ramp_sampling_is_exact():
+    """Sampling a coordinate ramp must return crop_pixel_centers exactly —
+    regression test for the discrete-kernel normalization ripple that
+    produced ~5px sawtooth coordinate errors (and ~80mm pose errors)."""
+    img = np.zeros((480, 640, 2), np.float32)
+    img[..., 0] = np.arange(640)[None, :]
+    img[..., 1] = np.arange(480)[:, None]
+    for bbox in ([160, 270, 290, 400], [10, 10, 100, 80],
+                 [-20, 300, 200, 640]):
+        box = boxes.get_boxes(np.asarray(bbox, np.int32), 480, 640)
+        out = np.asarray(crop.crop_resize(jnp.asarray(img), box))
+        vv, uu, valid = crop.crop_pixel_centers(box, 128)
+        inner = np.array(valid)
+        inner[:3] = False
+        inner[-3:] = False
+        inner[:, :3] = False
+        inner[:, -3:] = False
+        assert np.abs(out[..., 0] - np.asarray(uu))[inner].max() < 0.1
+        assert np.abs(out[..., 1] - np.asarray(vv))[inner].max() < 0.1
+
+
 def test_crop_pixel_centers_roundtrip():
     bbox = np.array([100, 200, 260, 380], np.int32)
     box = boxes.get_boxes(bbox, 480, 640)

@@ -41,7 +41,7 @@ def test_engine_recovers_pose_single_detection(estimator):
     assert bool(out.valid[0])
     assert not bool(out.valid[1])  # masked slot must stay invalid
     assert rot_err_deg(np.asarray(out.R[0]), R) < 3.0
-    assert np.linalg.norm(np.asarray(out.t[0]) - t) < 0.05 * t[2]
+    assert np.linalg.norm(np.asarray(out.t[0]) - t) < 0.02 * t[2]
     assert float(out.frac_inlier[0]) > 0.3
 
 
@@ -59,10 +59,8 @@ def test_engine_jittered_detector_box(estimator):
               jax.random.PRNGKey(2))
     for i in range(2):
         assert bool(out.valid[i]), i
-        # sloppy boxes pull blurred silhouette pixels into the 5px RANSAC
-        # band; 5 deg is the oracle-scene noise floor there
-        assert rot_err_deg(np.asarray(out.R[i]), R) < 5.0, i
-        assert np.linalg.norm(np.asarray(out.t[i]) - t) < 0.05 * t[2], i
+        assert rot_err_deg(np.asarray(out.R[i]), R) < 2.0, i
+        assert np.linalg.norm(np.asarray(out.t[i]) - t) < 0.02 * t[2], i
 
 
 def test_engine_empty_region_invalid(estimator):
@@ -87,5 +85,5 @@ def test_engine_object_at_image_border(estimator):
     out = est(params, rgb, bboxes, np.array([True]), CAM_K, obj_param,
               jax.random.PRNGKey(3))
     assert bool(out.valid[0])
-    assert rot_err_deg(np.asarray(out.R[0]), R) < 4.0
-    assert np.linalg.norm(np.asarray(out.t[0]) - t) < 0.06 * t[2]
+    assert rot_err_deg(np.asarray(out.R[0]), R) < 2.0
+    assert np.linalg.norm(np.asarray(out.t[0]) - t) < 0.03 * t[2]
