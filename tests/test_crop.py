@@ -94,7 +94,10 @@ def test_ramp_sampling_is_exact():
         box = boxes.get_boxes(np.asarray(bbox, np.int32), 480, 640)
         out = np.asarray(crop.crop_resize(jnp.asarray(img), box))
         vv, uu, valid = crop.crop_pixel_centers(box, 128)
-        inner = np.array(valid)
+        from scipy import ndimage
+        # erode the in-image mask: at the clipped-window boundary the
+        # kernel support correctly mixes in pasted zeros
+        inner = ndimage.binary_erosion(np.array(valid), iterations=4)
         inner[:3] = False
         inner[-3:] = False
         inner[:, :3] = False
