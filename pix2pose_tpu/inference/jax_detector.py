@@ -1,0 +1,76 @@
+"""Detector-protocol adapter around the trained CenterNet model."""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pix2pose_tpu.inference.detector import Detection
+from pix2pose_tpu.models.detector import (CenterNetDetector,
+                                          decode_detections)
+
+
+class JaxDetector:
+    """Runs the jitted detector and emits :class:`Detection` records with
+    box-cropped semantic masks (the Mask-RCNN-mask stand-in for
+    score_type 2)."""
+
+    def __init__(self, model: CenterNetDetector, variables,
+                 class_to_obj_id, score_th: float = 0.3,
+                 top_k: int = 32, input_size: int = 512):
+        self.model = model
+        self.variables = variables
+        self.class_to_obj_id = list(class_to_obj_id)
+        self.score_th = score_th
+        self.input_size = input_size
+
+        def _run(variables, img):
+            out = model.apply(variables, img[None])
+            det = decode_detections(out, top_k=top_k)
+            seg = jax.nn.sigmoid(out.seg)
+            return det, seg
+
+        self._run = jax.jit(_run)
+
+    def detect(self, scene_id, im_id, rgb):
+        h, w = rgb.shape[:2]
+        s = self.input_size
+        scale = s / max(h, w)
+        img = jnp.asarray(rgb, jnp.float32) / 255.0
+        img = jax.image.resize(img, (int(h * scale), int(w * scale), 3),
+                               method="linear")
+        pad = jnp.zeros((s, s, 3), jnp.float32)
+        img = pad.at[:img.shape[0], :img.shape[1]].set(img)
+        det, seg = self._run(self.variables, img)
+        det = jax.device_get(det)
+        seg = np.asarray(seg[0])  # (s/4, s/4, C)
+        out = []
+        for i in range(det.score.shape[1]):
+            sc = float(det.score[0, i])
+            if sc < self.score_th:
+                continue
+            bbox = np.asarray(det.bbox[0, i]) / scale
+            bbox = np.round(
+                np.clip(bbox, [0, 0, 0, 0], [h - 1, w - 1, h - 1, w - 1])
+            ).astype(np.int32)
+            if bbox[2] - bbox[0] < 4 or bbox[3] - bbox[1] < 4:
+                continue
+            cls = int(det.cls[0, i])
+            # box-cropped semantic mask, resized to full frame
+            seg_c = seg[..., cls]
+            from PIL import Image
+            m_full = np.asarray(Image.fromarray(
+                (seg_c * 255).astype(np.uint8)).resize(
+                (int(w * scale), int(h * scale)), Image.BILINEAR))
+            m = np.zeros((h, w), bool)
+            m_res = np.asarray(Image.fromarray(m_full).resize(
+                (w, h), Image.BILINEAR)) > 127
+            box_m = np.zeros((h, w), bool)
+            box_m[bbox[0]:bbox[2] + 1, bbox[1]:bbox[3] + 1] = True
+            m = m_res & box_m
+            out.append(Detection(bbox=bbox,
+                                 obj_id=self.class_to_obj_id[cls],
+                                 score=sc, mask=m))
+        return out

@@ -1,0 +1,208 @@
+"""On-device detector-training scene synthesis.
+
+The reference writes 200k cluttered composites to disk for Mask-RCNN /
+RetinaNet training (``tools/1_1_scene_gen_for_detection_maskrcnn.py``:
+5-20 scaled/rotated/occluded crops per COCO background, visibility filter
+0.3). Here the same composition is a jitted batched program that feeds the
+detector directly — no disk intermediates:
+
+  sample K object crops -> random affine placement (scale/rotation/shift)
+  -> ordered compositing (later crops occlude earlier ones, like the
+  sequential pastes in ``1_1:163-241``) -> CenterNet targets (gaussian
+  center heatmaps, box sizes, offsets, per-class masks) with the 0.3
+  visibility filter (``1_1:250-256``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pix2pose_tpu.ops.affine import affine_sample, make_affine
+
+PATCH = 128
+
+
+@dataclasses.dataclass
+class DetectorStore:
+    """All objects' patches in one pool + class labels."""
+
+    rgb: jnp.ndarray    # (P, 128, 128, 3) uint8
+    mask: jnp.ndarray   # (P, 128, 128) bool
+    label: jnp.ndarray  # (P,) int32 class index (0-based)
+    extent: jnp.ndarray  # (P,) float
+    backs: jnp.ndarray  # (M, 256, 256, 3) uint8
+    num_classes: int
+
+    @classmethod
+    def from_patch_stores(cls, stores: dict, backs):
+        """stores: {obj_id: PatchStore-like with rgb/mask/extent}; class
+        index = rank of obj_id."""
+        rgbs, masks, labels, extents = [], [], [], []
+        for ci, obj_id in enumerate(sorted(stores)):
+            st = stores[obj_id]
+            rgbs.append(np.asarray(st.rgb))
+            masks.append(np.asarray(st.mask))
+            extents.append(np.asarray(st.extent))
+            labels.append(np.full(st.rgb.shape[0], ci, np.int32))
+        return cls(rgb=jnp.asarray(np.concatenate(rgbs)),
+                   mask=jnp.asarray(np.concatenate(masks)),
+                   label=jnp.asarray(np.concatenate(labels)),
+                   extent=jnp.asarray(np.concatenate(extents)),
+                   backs=jnp.asarray(backs),
+                   num_classes=len(stores))
+
+
+jax.tree_util.register_pytree_node(
+    DetectorStore,
+    lambda s: ((s.rgb, s.mask, s.label, s.extent, s.backs),
+               s.num_classes),
+    lambda aux, c: DetectorStore(*c, num_classes=aux))
+
+
+def _gauss_radius(h, w, min_overlap=0.7):
+    """CenterNet gaussian radius from box size."""
+    a = min_overlap
+    r = jnp.minimum(h, w) * (1 - a) / (1 + a)
+    return jnp.maximum(r, 2.0)
+
+
+def _place_one(key, rgb_u8, mask, extent, im_size):
+    """Random affine placement of one patch into the image frame.
+
+    Returns (rgb (S,S,3) float, mask (S,S) float)."""
+    ks = jax.random.split(key, 4)
+    scale = jax.random.uniform(ks[0], minval=0.6, maxval=1.6)
+    angle = jax.random.uniform(ks[1], minval=-np.pi, maxval=np.pi)
+    margin = extent * scale * 0.5 + 4.0
+    cv = jax.random.uniform(ks[2], minval=margin,
+                            maxval=im_size - margin)
+    cu = jax.random.uniform(ks[3], minval=margin,
+                            maxval=im_size - margin)
+    # out->src map: src px per out px = 1/scale
+    mat = make_affine(jnp.array([(PATCH - 1) / 2.0, (PATCH - 1) / 2.0]),
+                      jnp.array([cv, cu]), 1.0 / scale, angle)
+    rgbf = rgb_u8.astype(jnp.float32) / 255.0
+    out_rgb = affine_sample(rgbf, mat, im_size, im_size, 0.0)
+    out_m = affine_sample(mask.astype(jnp.float32)[..., None], mat,
+                          im_size, im_size, 0.0)[..., 0]
+    return out_rgb, (out_m > 0.5).astype(jnp.float32)
+
+
+def _splat_gaussian(heat, cls_idx, cv, cu, radius, valid, size):
+    v = jnp.arange(size, dtype=jnp.float32)
+    g = jnp.exp(-(((v[:, None] - cv) ** 2 + (v[None, :] - cu) ** 2)
+                  / (2 * (radius / 3.0) ** 2)))
+    g = jnp.where(valid, g, 0.0)
+    onehot = jax.nn.one_hot(cls_idx, heat.shape[-1])
+    return jnp.maximum(heat, g[..., None] * onehot[None, None, :])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("batch_size", "im_size", "k_obj",
+                                    "stride"))
+def make_detector_batch(store: DetectorStore, key, batch_size: int = 8,
+                        im_size: int = 512, k_obj: int = 8,
+                        stride: int = 4, min_visib: float = 0.3):
+    """One detector training batch.
+
+    Returns dict: ``image`` (B,S,S,3) in [0,1], targets ``heat``/``wh``/
+    ``off``/``reg_mask``/``seg`` at stride resolution."""
+    hs = im_size // stride
+    c = store.num_classes
+
+    def one_scene(k):
+        ks = jax.random.split(k, 3)
+        pidx = jax.random.randint(ks[0], (k_obj,), 0,
+                                  store.rgb.shape[0])
+        bidx = jax.random.randint(ks[1], (), 0, store.backs.shape[0])
+        place_keys = jax.random.split(ks[2], k_obj)
+        rgbs, masks = jax.vmap(
+            lambda kk, i: _place_one(kk, store.rgb[i], store.mask[i],
+                                     store.extent[i], im_size)
+        )(place_keys, pidx)  # (K,S,S,3), (K,S,S)
+        labels = store.label[pidx]
+
+        # background: random crop of a 256-background upscaled to S
+        back = jax.image.resize(
+            store.backs[bidx].astype(jnp.float32) / 255.0,
+            (im_size, im_size, 3), method="linear")
+
+        # ordered compositing: slot k is occluded by slots > k
+        def suffix_or(carry, m):
+            return jnp.logical_or(carry, m > 0), carry
+
+        _, occ_after_rev = jax.lax.scan(
+            suffix_or, jnp.zeros((im_size, im_size), bool),
+            masks[::-1])
+        occ_after = occ_after_rev[::-1]  # (K,S,S): union of later masks
+        visible = masks * (1.0 - occ_after.astype(jnp.float32))
+
+        img = back
+        for kk in range(k_obj):  # small static loop
+            img = jnp.where(visible[kk][..., None] > 0, rgbs[kk], img)
+
+        # ---- targets at stride resolution ----
+        vis_s = visible[:, ::stride, ::stride]  # (K,hs,hs)
+        area_full = jnp.maximum(jnp.sum(masks, axis=(1, 2)), 1.0)
+        area_vis = jnp.sum(visible, axis=(1, 2))
+        valid_gt = (area_vis / area_full) >= min_visib
+
+        gv = jnp.arange(hs, dtype=jnp.float32)
+        vsum = jnp.maximum(jnp.sum(vis_s, axis=(1, 2)), 1e-6)
+        # visible bbox via min/max over mask
+        big = 1e9
+        vmin = jnp.min(jnp.where(vis_s > 0,
+                                 gv[None, :, None], big), axis=(1, 2))
+        vmax = jnp.max(jnp.where(vis_s > 0,
+                                 gv[None, :, None], -big), axis=(1, 2))
+        umin = jnp.min(jnp.where(vis_s > 0,
+                                 gv[None, None, :], big), axis=(1, 2))
+        umax = jnp.max(jnp.where(vis_s > 0,
+                                 gv[None, None, :], -big), axis=(1, 2))
+        has_px = vsum > 1.0
+        valid_gt = valid_gt & has_px
+        cv = (vmin + vmax) / 2.0
+        cu = (umin + umax) / 2.0
+        hh = jnp.maximum(vmax - vmin, 1.0)
+        ww = jnp.maximum(umax - umin, 1.0)
+
+        heat = jnp.zeros((hs, hs, c))
+        wh = jnp.zeros((hs, hs, 2))
+        off = jnp.zeros((hs, hs, 2))
+        reg = jnp.zeros((hs, hs))
+        seg = jnp.zeros((hs, hs, c))
+        for kk in range(k_obj):
+            r = _gauss_radius(hh[kk], ww[kk])
+            heat = _splat_gaussian(heat, labels[kk], cv[kk], cu[kk], r,
+                                   valid_gt[kk], hs)
+            ci = jnp.round(cv[kk]).astype(jnp.int32)
+            cj = jnp.round(cu[kk]).astype(jnp.int32)
+            ci = jnp.clip(ci, 0, hs - 1)
+            cj = jnp.clip(cj, 0, hs - 1)
+            upd = valid_gt[kk].astype(jnp.float32)
+            # force an exact-1 positive at the center cell
+            heat = heat.at[ci, cj, labels[kk]].max(upd)
+            wh = wh.at[ci, cj].set(
+                jnp.where(upd > 0, jnp.stack([hh[kk], ww[kk]]),
+                          wh[ci, cj]))
+            off = off.at[ci, cj].set(
+                jnp.where(upd > 0,
+                          jnp.stack([cv[kk] - ci, cu[kk] - cj]),
+                          off[ci, cj]))
+            reg = reg.at[ci, cj].max(upd)
+            seg = jnp.maximum(
+                seg, vis_s[kk][..., None]
+                * jax.nn.one_hot(labels[kk], c)[None, None, :]
+                * upd)
+        return img, heat, wh, off, reg, seg
+
+    keys = jax.random.split(key, batch_size)
+    img, heat, wh, off, reg, seg = jax.vmap(one_scene)(keys)
+    return {"image": img, "heat": heat, "wh": wh, "off": off,
+            "reg_mask": reg, "seg": seg}

@@ -1,0 +1,123 @@
+"""Detector: model shapes, decode on hand-crafted outputs, scene composer
+targets, one train step, end-to-end adapter on an easy synthetic scene."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pix2pose_tpu.models.detector import (CenterNetDetector, DetectorOut,
+                                          decode_detections, detector_loss,
+                                          focal_loss)
+from pix2pose_tpu.training.detector_data import (DetectorStore,
+                                                 make_detector_batch)
+
+
+def test_model_shapes():
+    model = CenterNetDetector(num_classes=3)
+    x = jnp.zeros((1, 256, 256, 3))
+    v = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(v, x)
+    assert out.heat.shape == (1, 64, 64, 3)
+    assert out.wh.shape == (1, 64, 64, 2)
+    assert out.off.shape == (1, 64, 64, 2)
+    assert out.seg.shape == (1, 64, 64, 3)
+
+
+def test_decode_handcrafted_peaks():
+    h = w = 64
+    heat = np.full((1, h, w, 2), -8.0, np.float32)
+    heat[0, 10, 20, 0] = 8.0   # class 0 at (10,20)
+    heat[0, 40, 50, 1] = 6.0   # class 1 at (40,50)
+    wh = np.zeros((1, h, w, 2), np.float32)
+    wh[0, 10, 20] = [5.0, 8.0]
+    wh[0, 40, 50] = [10.0, 4.0]
+    off = np.zeros((1, h, w, 2), np.float32)
+    off[0, 10, 20] = [0.5, 0.25]
+    out = DetectorOut(heat=jnp.asarray(heat), wh=jnp.asarray(wh),
+                      off=jnp.asarray(off),
+                      seg=jnp.zeros((1, h, w, 2)))
+    det = decode_detections(out, top_k=4)
+    assert float(det.score[0, 0]) > 0.99
+    assert int(det.cls[0, 0]) == 0
+    np.testing.assert_allclose(np.asarray(det.center[0, 0]),
+                               [(10 + 0.5) * 4, (20 + 0.25) * 4], atol=.01)
+    bbox = np.asarray(det.bbox[0, 0])
+    np.testing.assert_allclose(bbox[2] - bbox[0], 20.0, atol=0.01)
+    np.testing.assert_allclose(bbox[3] - bbox[1], 32.0, atol=0.01)
+    assert int(det.cls[0, 1]) == 1
+
+
+def test_focal_loss_perfect_prediction_small():
+    gt = np.zeros((1, 8, 8, 1), np.float32)
+    gt[0, 4, 4, 0] = 1.0
+    logits = np.full((1, 8, 8, 1), -20.0, np.float32)
+    logits[0, 4, 4, 0] = 20.0
+    assert float(focal_loss(jnp.asarray(logits), jnp.asarray(gt))) < 1e-4
+    bad = -logits
+    assert float(focal_loss(jnp.asarray(bad), jnp.asarray(gt))) > 1.0
+
+
+def _toy_store(rng, n_classes=2, n_per=3):
+    """Distinct bright blobs per class."""
+    rgbs, masks, labels, extents = [], [], [], []
+    for c in range(n_classes):
+        for _ in range(n_per):
+            rgb = np.zeros((128, 128, 3), np.uint8)
+            m = np.zeros((128, 128), bool)
+            r = rng.randint(25, 45)
+            yy, xx = np.mgrid[0:128, 0:128]
+            blob = ((yy - 64) ** 2 + (xx - 64) ** 2) < r * r
+            col = [255, 40] if c == 0 else [40, 255]
+            rgb[blob] = [col[0], col[1], 128]
+            m |= blob
+            rgbs.append(rgb)
+            masks.append(m)
+            labels.append(c)
+            extents.append(float(2 * r))
+    backs = rng.randint(0, 60, (2, 256, 256, 3)).astype(np.uint8)
+    return DetectorStore(rgb=jnp.asarray(np.stack(rgbs)),
+                         mask=jnp.asarray(np.stack(masks)),
+                         label=jnp.asarray(np.array(labels, np.int32)),
+                         extent=jnp.asarray(np.array(extents, np.float32)),
+                         backs=jnp.asarray(backs), num_classes=n_classes)
+
+
+def test_scene_composer_targets():
+    rng = np.random.RandomState(0)
+    store = _toy_store(rng)
+    b = make_detector_batch(store, jax.random.PRNGKey(0), batch_size=2,
+                            im_size=256, k_obj=4)
+    assert b["image"].shape == (2, 256, 256, 3)
+    assert b["heat"].shape == (2, 64, 64, 2)
+    heat = np.asarray(b["heat"])
+    reg = np.asarray(b["reg_mask"])
+    assert reg.sum() >= 2  # at least some valid GT centers
+    # exact positives exist where reg_mask is set
+    assert (heat.max(axis=-1)[reg > 0] >= 1.0 - 1e-5).all()
+    # seg masks roughly cover the image fraction of objects
+    seg = np.asarray(b["seg"])
+    assert 0.005 < seg.mean() < 0.6
+    # wh at centers is positive
+    wh = np.asarray(b["wh"])
+    assert (wh[reg > 0] > 0).all()
+
+
+def test_detector_train_step_decreases_loss():
+    rng = np.random.RandomState(1)
+    store = _toy_store(rng)
+    from pix2pose_tpu.training.detector_train import (
+        create_detector_state, make_detector_step)
+    model = CenterNetDetector(num_classes=2, head_dim=32)
+    state = create_detector_state(jax.random.PRNGKey(0), model, 256)
+    step = jax.jit(make_detector_step(model))
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(6):
+        key, kb = jax.random.split(key)
+        batch = make_detector_batch(store, kb, batch_size=2, im_size=256,
+                                    k_obj=4)
+        state, parts = step(state, batch, 1e-3)
+        losses.append(float(parts["total"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
