@@ -172,10 +172,17 @@ class BopDataset:
 
     def load_rgb(self, scene_id: int, im_id: int) -> np.ndarray:
         """(H, W, 3) uint8; gray datasets are expanded to 3 channels
-        (reference ``5_evaluation_bop_basic.py:260-270``)."""
-        from PIL import Image
+        (reference ``5_evaluation_bop_basic.py:260-270``). PNGs go through
+        the native parallel decoder when available."""
+        path = self.rgb_path(scene_id, im_id)
+        if path.endswith(".png"):
+            from pix2pose_tpu.data.native_loader import load_png
 
-        img = np.asarray(Image.open(self.rgb_path(scene_id, im_id)))
+            img = load_png(path)
+        else:
+            from PIL import Image
+
+            img = np.asarray(Image.open(path))
         if img.ndim == 2:
             img = np.repeat(img[:, :, None], 3, axis=2)
         return img[..., :3]
@@ -184,9 +191,15 @@ class BopDataset:
                    depth_scale: float = 1.0) -> np.ndarray:
         """(H, W) float32 depth in meters: raw/1000*depth_scale
         (reference ``5_evaluation_bop_icp3d.py:360``)."""
-        from PIL import Image
+        path = self.depth_path(scene_id, im_id)
+        if path.endswith(".png"):
+            from pix2pose_tpu.data.native_loader import load_png
 
-        raw = np.asarray(Image.open(self.depth_path(scene_id, im_id)))
+            raw = load_png(path)
+        else:
+            from PIL import Image
+
+            raw = np.asarray(Image.open(path))
         return raw.astype(np.float32) / 1000.0 * depth_scale
 
 

@@ -63,11 +63,13 @@ class PatchStore:
         (``2_2_render_pix2pose_training.py:76-96``) and background images."""
         from PIL import Image
 
+        from pix2pose_tpu.data.native_loader import load_npy
+
         rgbs, xyzs, masks, extents = [], [], [], []
         files = sorted(f for f in os.listdir(data_dir)
                        if f.endswith(".npy"))[:max_patches]
         for fn in files:
-            arr = np.load(os.path.join(data_dir, fn))
+            arr = load_npy(os.path.join(data_dir, fn))
             h, w = arr.shape[:2]
             rgb = np.zeros((PATCH, PATCH, 3), np.uint8)
             xyz = np.zeros((PATCH, PATCH, 3), np.uint8)
