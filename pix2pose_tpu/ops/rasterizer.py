@@ -150,10 +150,26 @@ def rasterize(uv, z, faces, attrs, h: int, w: int, v0=0, u0=0,
 
 
 def render_mesh(verts, faces, attrs, R, t, K, h: int, w: int,
-                v0=0, u0=0, chunk: int = 128) -> RenderOut:
+                v0=0, u0=0, chunk: int = 128,
+                prefer_pallas: bool | None = None) -> RenderOut:
     """Convenience: pose + project + rasterize (jit-compatible; h, w
-    static)."""
+    static).
+
+    Full-frame tile-aligned renders on TPU dispatch to the Pallas kernel
+    (~10x faster: the z-buffer tile stays in VMEM across the face loop);
+    windowed or oddly-shaped renders use the XLA scan path.
+    """
     uv, z = project_vertices(verts, R, t, K)
+    if prefer_pallas is None:
+        import jax
+
+        prefer_pallas = (jax.default_backend() not in ("cpu",)
+                         and isinstance(v0, int) and v0 == 0
+                         and isinstance(u0, int) and u0 == 0)
+    if prefer_pallas and h % 16 == 0 and w % 128 == 0:
+        from pix2pose_tpu.ops.rasterizer_pallas import rasterize_pallas
+
+        return rasterize_pallas(uv, z, faces, attrs, h, w)
     return rasterize(uv, z, faces, attrs, h, w, v0, u0, chunk)
 
 
