@@ -35,7 +35,10 @@ def main():
                          [0.0, 0.0, 1.0]], jnp.float32)
     obj_param = jnp.asarray([40.0, 40.0, 40.0, 0.0, 0.0, 0.0], jnp.float32)
 
-    model = build_generator("paper")
+    # bf16 conv compute (params fp32); PnP stays fp32. bf16's 8-bit
+    # mantissa matches the uint8 coordinate-color quantization of the
+    # training targets, so decode precision is not the bottleneck.
+    model = build_generator("paper", dtype=jnp.bfloat16)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
     est = Pix2PoseEstimator(
         model, EstimatorConfig(outlier_th=(0.15, 0.25, 0.35)))
