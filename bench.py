@@ -10,6 +10,9 @@ Baseline derivation: the reference runs one crop at a time through TF1
 ~0.2-0.8 s/image at ~5 detections -> ~10-25 crops/sec on its GPU. We use
 20 crops/sec as the reference point for vs_baseline (no official number is
 checked in; see BASELINE.md).
+
+Measured configuration: bf16 conv compute (fp32 params/PnP), 8 images x 16
+padded detections x 3 outlier thresholds per program launch.
 """
 
 import json
@@ -29,10 +32,10 @@ def main():
     from pix2pose_tpu.inference import Pix2PoseEstimator
     from pix2pose_tpu.models import build_generator
 
-    im_h, im_w = 480, 640
-    n_det = 16  # padded detections per image-batch run
-    cam_k = jnp.asarray([[572.4, 0.0, 325.3], [0.0, 573.6, 242.0],
-                         [0.0, 0.0, 1.0]], jnp.float32)
+    n_img, im_h, im_w, n_det = 8, 480, 640, 16
+    cam_k = jnp.tile(jnp.asarray(
+        [[572.4, 0.0, 325.3], [0.0, 573.6, 242.0], [0.0, 0.0, 1.0]],
+        jnp.float32)[None], (n_img, 1, 1))
     obj_param = jnp.asarray([40.0, 40.0, 40.0, 0.0, 0.0, 0.0], jnp.float32)
 
     # bf16 conv compute (params fp32); PnP stays fp32. bf16's 8-bit
@@ -44,30 +47,33 @@ def main():
         model, EstimatorConfig(outlier_th=(0.15, 0.25, 0.35)))
 
     rng = np.random.RandomState(0)
-    rgb = rng.randint(0, 255, (im_h, im_w, 3)).astype(np.uint8)
-    bboxes = np.zeros((n_det, 4), np.int32)
-    for i in range(n_det):
-        v0 = rng.randint(0, im_h - 140)
-        u0 = rng.randint(0, im_w - 140)
-        bboxes[i] = [v0, u0, v0 + rng.randint(60, 130),
-                     u0 + rng.randint(60, 130)]
-    det_valid = np.ones(n_det, bool)
+    rgbs = rng.randint(0, 255, (n_img, im_h, im_w, 3)).astype(np.uint8)
+    bboxes = np.zeros((n_img, n_det, 4), np.int32)
+    for b in range(n_img):
+        for i in range(n_det):
+            v0 = rng.randint(0, im_h - 140)
+            u0 = rng.randint(0, im_w - 140)
+            bboxes[b, i] = [v0, u0, v0 + rng.randint(60, 130),
+                            u0 + rng.randint(60, 130)]
+    det_valid = np.ones((n_img, n_det), bool)
     key = jax.random.PRNGKey(0)
 
     # warm-up / compile
-    out = est(params, rgb, bboxes, det_valid, cam_k, obj_param, key)
+    out = est.estimate_batch(params, rgbs, bboxes, det_valid, cam_k,
+                             obj_param, jax.random.split(key, n_img))
     jax.block_until_ready(out.R)
 
     iters = 10
     t0 = time.perf_counter()
     for i in range(iters):
-        out = est(params, rgb, bboxes, det_valid, cam_k, obj_param,
-                  jax.random.fold_in(key, i))
+        out = est.estimate_batch(
+            params, rgbs, bboxes, det_valid, cam_k, obj_param,
+            jax.random.split(jax.random.fold_in(key, i), n_img))
     jax.block_until_ready(out.R)
     dt = time.perf_counter() - t0
 
-    crops_per_sec = n_det * iters / dt
-    per_image_ms = dt / iters * 1000.0
+    crops_per_sec = n_img * n_det * iters / dt
+    per_image_ms = dt / (iters * n_img) * 1000.0
     result = {
         "metric": "detection crops/sec/chip (AE+PnP-RANSAC, two-stage)",
         "value": round(crops_per_sec, 2),

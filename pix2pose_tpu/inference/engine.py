@@ -113,6 +113,10 @@ class Pix2PoseEstimator:
         self._run = jax.jit(
             functools.partial(self._estimate),
         )
+        # multi-image batching: images/boxes/valid/camera/key carry a
+        # leading batch axis; params and norm factors are shared
+        self._run_batch = jax.jit(jax.vmap(
+            self._estimate, in_axes=(None, 0, 0, 0, 0, None, 0)))
 
     # ------------------------------------------------------------------
     def __call__(self, params, rgb, bboxes, det_valid, cam_k, obj_param,
@@ -130,6 +134,14 @@ class Pix2PoseEstimator:
         """
         return self._run(params, rgb, bboxes, det_valid, cam_k, obj_param,
                          key)
+
+    def estimate_batch(self, params, rgbs, bboxes, det_valid, cam_ks,
+                       obj_param, keys) -> PoseEstimate:
+        """Batched over images: rgbs (B,H,W,3), bboxes (B,N,4),
+        det_valid (B,N), cam_ks (B,3,3), keys (B,2). One compiled program
+        amortizes launch overhead across a whole image stream."""
+        return self._run_batch(params, rgbs, bboxes, det_valid, cam_ks,
+                               obj_param, keys)
 
     # ------------------------------------------------------------------
     def _estimate(self, params, rgb, bboxes, det_valid, cam_k, obj_param,

@@ -179,3 +179,20 @@ def render_depth(verts, faces, R, t, K, h: int, w: int, **kw):
     out = render_mesh(verts, faces, jnp.zeros((verts.shape[0], 1)), R, t, K,
                       h, w, **kw)
     return out.depth, out.mask
+
+
+def render_lit(verts, faces, colors, normals, R, t, K, h: int, w: int,
+               ambient: float = 0.5, diffuse: float = 0.5,
+               **kw) -> RenderOut:
+    """Lambertian-headlight shaded render (the lit GL renderer's look,
+    ``rendering/renderer.py:33-49``): color attributes are modulated by the
+    camera-space normal's facing term before interpolation.
+
+    Args:
+      colors: (V, C) base vertex colors. normals: (V, 3) unit normals.
+    """
+    n_cam = normals @ jnp.asarray(R, jnp.float32).T
+    lam = jnp.clip(-n_cam[:, 2], 0.0, 1.0)
+    shade = ambient + diffuse * lam
+    lit = jnp.asarray(colors, jnp.float32) * shade[:, None]
+    return render_mesh(verts, faces, lit, R, t, K, h, w, **kw)

@@ -86,3 +86,11 @@ def test_results_csv_roundtrip(tmp_path):
     assert back[0]["scene_id"] == 1 and back[0]["obj_id"] == 3
     np.testing.assert_allclose(back[0]["R"], np.eye(3), atol=1e-6)
     np.testing.assert_allclose(back[0]["t"], [1, 2, 3], atol=1e-6)
+
+
+def test_linemod_split_targets(tmp_path):
+    from pix2pose_tpu.data.bop import target_list_from_linemod_split
+    p = tmp_path / "ape.txt"
+    p.write_text("3\n17\n256\n")
+    tl = target_list_from_linemod_split(str(p), obj_id=1)
+    assert tl == [(1, 3, [1], [1]), (1, 17, [1], [1]), (1, 256, [1], [1])]

@@ -86,3 +86,24 @@ def test_degenerate_and_empty():
                                   np.array([0, 0, 500.0], np.float32),
                                   CAM_K, 64, 64)
     assert np.isfinite(np.asarray(out2.depth)).all()
+
+
+def test_render_lit_shades_by_normal():
+    import jax.numpy as jnp
+    from pix2pose_tpu.ops.rasterizer import render_lit
+    half = 40.0
+    verts, faces = cube_mesh(half)
+    # outward vertex normals of the cube corners
+    normals = (verts / np.linalg.norm(verts, axis=1, keepdims=True)
+               ).astype(np.float32)
+    colors = np.full((8, 3), 200.0, np.float32)
+    R, t = pose_with_euler()
+    lit = render_lit(verts, faces, colors, normals, R, t, CAM_K, 480, 640)
+    unlit = __import__("pix2pose_tpu.ops.rasterizer", fromlist=["x"]) \
+        .render_mesh(verts, faces, colors, R, t, CAM_K, 480, 640)
+    m = np.asarray(lit.mask)
+    lv = np.asarray(lit.attr)[m]
+    uv = np.asarray(unlit.attr)[m]
+    # shading darkens at least part of the surface and varies across it
+    assert lv.mean() < uv.mean()
+    assert lv.std() > uv.std() + 1.0
