@@ -89,6 +89,27 @@ class BopEvaluator:
         self.method_name = method_name
 
     # ------------------------------------------------------------------
+    def warmup(self, key=None):
+        """Compile the engine before timed recognition starts — the
+        reference's ``dummy_run`` zero-image pass
+        (``5_evaluation_bop_basic.py:235-242``)."""
+        if not self.params_by_obj:
+            return
+        im_w, im_h = self.ds.im_size
+        rgb = np.zeros((im_h, im_w, 3), np.uint8)
+        bboxes = np.zeros((self.max_det, 4), np.int32)
+        bboxes[0] = [0, 0, 128, 128]
+        valid = np.zeros(self.max_det, bool)
+        valid[0] = True
+        obj_id = next(iter(self.params_by_obj))
+        cam_k = self.ds.cam_k if self.ds.cam_k is not None else np.eye(
+            3, dtype=np.float32)
+        out = self.est(self.params_by_obj[obj_id], rgb, bboxes, valid,
+                       cam_k, self.obj_params[obj_id],
+                       key if key is not None else jax.random.PRNGKey(0))
+        jax.block_until_ready(out.R)
+
+    # ------------------------------------------------------------------
     def run(self, target_list=None, out_dir: str | None = None,
             key=None) -> list:
         cfg = self.cfg
@@ -251,6 +272,7 @@ def main(argv: Sequence[str] | None = None):
                 else GtDetector(ds))
     ev = BopEvaluator(ds, cfg, est, params_by_obj, obj_params, detector,
                       max_det=args.max_det)
+    ev.warmup()  # reference dummy_run (``basic:235-242``)
     results = ev.run(out_dir=cfg.path_to_output)
     print(f"{len(results)} results written to {cfg.path_to_output}")
 
