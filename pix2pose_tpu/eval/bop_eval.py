@@ -244,6 +244,8 @@ def main(argv: Sequence[str] | None = None):
     p.add_argument("dataset")
     p.add_argument("--detections", default=None,
                    help="precomputed detections json; default: GT detector")
+    p.add_argument("--detector", choices=["gt", "centernet"], default="gt",
+                   help="gt masks or the trained in-repo detector")
     p.add_argument("--max-det", type=int, default=8)
     args = p.parse_args(argv)
 
@@ -268,8 +270,21 @@ def main(argv: Sequence[str] | None = None):
         params_by_obj[obj_id] = variables
         obj_params[obj_id] = obj_param_from_norm_factor(norm[str(obj_id)])
 
-    detector = (PrecomputedDetector(args.detections) if args.detections
-                else GtDetector(ds))
+    if args.detections:
+        detector = PrecomputedDetector(args.detections)
+    elif args.detector == "centernet":
+        from pix2pose_tpu.models.detector import CenterNetDetector
+        from pix2pose_tpu.inference.jax_detector import JaxDetector
+
+        det_model = CenterNetDetector(num_classes=len(ds.model_ids))
+        det_vars = ckpt_util.load_inference_params(
+            os.path.join(ds.dir, "weight_detection", "centernet"))
+        if det_vars is None:
+            raise SystemExit("no trained detector under weight_detection/"
+                             "centernet — run detector_train first")
+        detector = JaxDetector(det_model, det_vars, ds.model_ids)
+    else:
+        detector = GtDetector(ds)
     ev = BopEvaluator(ds, cfg, est, params_by_obj, obj_params, detector,
                       max_det=args.max_det)
     ev.warmup()  # reference dummy_run (``basic:235-242``)

@@ -59,6 +59,17 @@ def replicate(mesh: Mesh, tree):
         lambda x: jax.device_put(x, sharding), tree)
 
 
+def shard_inference_inputs(mesh: Mesh, rgbs, bboxes, det_valid, cam_ks,
+                           keys):
+    """Place a multi-image inference batch with the image axis sharded over
+    ``dp`` — feeding :meth:`Pix2PoseEstimator.estimate_batch` then runs
+    crop-sharded across the mesh (XLA splits the vmapped program; params
+    stay replicated)."""
+    s = NamedSharding(mesh, P("dp"))
+    put = lambda x: jax.device_put(x, s)
+    return put(rgbs), put(bboxes), put(det_valid), put(cam_ks), put(keys)
+
+
 def make_parallel_train_step(step_fn, mesh: Mesh, object_parallel: bool):
     """Wrap a single-object GAN ``step(state, batch, sym_pool, lr, key)``
     into a mesh-parallel program.

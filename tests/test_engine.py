@@ -87,3 +87,30 @@ def test_engine_object_at_image_border(estimator):
     assert bool(out.valid[0])
     assert rot_err_deg(np.asarray(out.R[0]), R) < 2.0
     assert np.linalg.norm(np.asarray(out.t[0]) - t) < 0.03 * t[2]
+
+
+def test_engine_batch_sharded_over_mesh(estimator):
+    """Crop-sharded inference: 8 images sharded over the dp mesh axis must
+    reproduce the unsharded batched results."""
+    from pix2pose_tpu.parallel.mesh import (make_mesh,
+                                            shard_inference_inputs)
+    est, params = estimator
+    R, t = pose_with_euler()
+    rgb, obj_param, hit = xyz_scene(R, t)
+    B = 8
+    rgbs = np.stack([rgb] * B)
+    bb = _bbox_from_hit(hit)[None]
+    bboxes = np.stack([bb] * B)
+    valid = np.ones((B, 1), bool)
+    cams = np.stack([np.asarray(CAM_K)] * B)
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    ref = est.estimate_batch(params, rgbs, bboxes, valid, cams, obj_param,
+                             keys)
+    mesh = make_mesh((1, 8))
+    srgb, sbox, sval, scam, skey = shard_inference_inputs(
+        mesh, rgbs, bboxes, valid, cams, keys)
+    out = est.estimate_batch(params, srgb, sbox, sval, scam, obj_param,
+                             skey)
+    assert bool(out.valid.all())
+    np.testing.assert_allclose(np.asarray(out.t), np.asarray(ref.t),
+                               atol=1e-2)
