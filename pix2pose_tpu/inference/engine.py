@@ -30,7 +30,7 @@ Semantics preserved from the reference (with citations inline):
 from __future__ import annotations
 
 import functools
-from typing import Any, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
