@@ -91,6 +91,9 @@ def load_inference_params(weight_dir: str, model=None) -> Any | None:
                    "inference_resnet50.hdf5"):
         h5 = os.path.join(weight_dir, h5name)
         if os.path.exists(h5):
-            from pix2pose_tpu.utils.hdf5_import import load_keras_generator
-            return load_keras_generator(h5, model)
+            from pix2pose_tpu.utils import hdf5_import
+            loader = (hdf5_import.load_keras_generator_resnet50
+                      if "resnet" in h5name
+                      else hdf5_import.load_keras_generator)
+            return loader(h5, model)
     return None

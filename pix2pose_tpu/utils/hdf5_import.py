@@ -83,6 +83,19 @@ def _set(tree, path, leaf_name, value):
     node[leaf_name] = value
 
 
+# keras ResNet50 block names (stage, block-letter, keras res-id) for the
+# BOP'20 encoder (stages 2-3 only; reference resnet50_mod.py:214-231)
+_RESNET_BLOCKS = [
+    ("s2_b0", "2a", True), ("s2_b1", "2b", False), ("s2_b2", "2c", False),
+    ("s3_b0", "3a", True), ("s3_b1", "3b", False), ("s3_b2", "3c", False),
+    ("s3_b3", "3d", False),
+]
+_RESNET_BN_ORDER = [  # decoder auto-named BNs for the resnet50 generator
+    ("encoder", "e4_1"), ("encoder", "e4_2"),
+    ("d1",), ("d1_uni",), ("d2",), ("d2_uni",), ("d3",), ("d3_uni",),
+]
+
+
 def load_keras_generator(h5_path: str, model=None, bn_offset: int = 0,
                          dense_offset: int = 0, ct_offset: int = 0):
     """Load a paper-backbone generator ``inference.hdf5`` into flax
@@ -138,6 +151,83 @@ def load_keras_generator(h5_path: str, model=None, bn_offset: int = 0,
         for name, path in _DECODER_CONVS:
             conv(name, path + ("conv",))
         for i, path in enumerate(_PAPER_BN_ORDER):
+            bn(f"batch_normalization_{bn_offset + i + 1}", path + ("bn",))
+        conv(f"dense_{dense_offset + 1}", ("fc_enc",))
+        conv(f"dense_{dense_offset + 2}", ("fc_dec",))
+        for i, path in enumerate(_CT_ORDER):
+            leaf = ("deconv",) if len(path) == 1 and path[0].startswith(
+                "d") and not path[0].startswith("head") else ()
+            conv(f"conv2d_transpose_{ct_offset + i + 1}", path + leaf,
+                 transpose=True)
+
+    variables = {"params": params, "batch_stats": stats}
+    if model is not None:
+        _check_shapes(model, variables)
+    return variables
+
+
+def load_keras_generator_resnet50(h5_path: str, model=None,
+                                  bn_offset: int = 0, dense_offset: int = 0,
+                                  ct_offset: int = 0):
+    """Load a resnet50-backbone generator HDF5
+    (``inference_resnet_model.hdf5`` / ``inference_resnet50.hdf5``) into
+    flax variables. Keras resnet layers are NAMED (conv1, bn2a_branch2a,
+    res2a_branch1, ...); only the decoder uses auto-numbered names."""
+    import h5py
+
+    with h5py.File(h5_path, "r") as f:
+        def probe(prefix):
+            grp = f["model_weights"] if "model_weights" in f else f
+            names = set(grp.keys())
+            idx = [int(n[len(prefix) + 1:]) for n in names
+                   if n.startswith(prefix + "_")
+                   and n[len(prefix) + 1:].isdigit()]
+            return min(idx) - 1 if idx else 0
+
+        bn_offset = bn_offset or probe("batch_normalization")
+        dense_offset = dense_offset or probe("dense")
+        ct_offset = ct_offset or probe("conv2d_transpose")
+
+        params: dict = {}
+        stats: dict = {}
+
+        def conv(keras_name, path, transpose=False):
+            w = _read_layer(f, keras_name)
+            if w is None:
+                raise KeyError(f"{keras_name} not in {h5_path}")
+            kernel = _kernel_ct(w["kernel"]) if transpose else w["kernel"]
+            _set(params, path, "kernel", kernel)
+            if "bias" in w:
+                _set(params, path, "bias", w["bias"])
+
+        def bn(keras_name, path):
+            w = _read_layer(f, keras_name)
+            if w is None:
+                raise KeyError(f"{keras_name} not in {h5_path}")
+            _set(params, path, "scale", w["gamma"])
+            _set(params, path, "bias", w["beta"])
+            _set(stats, path, "mean", w["moving_mean"])
+            _set(stats, path, "var", w["moving_variance"])
+
+        trunk = ("encoder", "trunk")
+        conv("conv1", trunk + ("stem_conv",))
+        bn("bn_conv1", trunk + ("stem_bn",))
+        for mod, rid, has_proj in _RESNET_BLOCKS:
+            base = trunk + (mod,)
+            for br, sub in (("2a", "conv_a"), ("2b", "conv_b"),
+                            ("2c", "conv_c")):
+                conv(f"res{rid}_branch{br}", base + (sub,))
+                bn(f"bn{rid}_branch{br}",
+                   base + ({"2a": "bn_a", "2b": "bn_b",
+                            "2c": "bn_c"}[br],))
+            if has_proj:
+                conv(f"res{rid}_branch1", base + ("proj_conv",))
+                bn(f"bn{rid}_branch1", base + ("proj_bn",))
+        conv("conv4_1", ("encoder", "e4_1", "conv"))
+        conv("conv4_2", ("encoder", "e4_2", "conv"))
+        for name, path in _DECODER_CONVS:
+            conv(name, path + ("conv",))
+        for i, path in enumerate(_RESNET_BN_ORDER):
             bn(f"batch_normalization_{bn_offset + i + 1}", path + ("bn",))
         conv(f"dense_{dense_offset + 1}", ("fc_enc",))
         conv(f"dense_{dense_offset + 2}", ("fc_dec",))

@@ -126,3 +126,74 @@ def test_full_generator_import_runs(tmp_path):
     v2 = hdf5_import.load_keras_generator(str(h5b), model)
     xyz2, _ = model.apply(v2, jnp.zeros((1, 128, 128, 3)))
     assert np.isfinite(np.asarray(xyz2)).all()
+
+
+def _write_fake_keras_resnet50_generator(path):
+    import h5py
+
+    rng = np.random.RandomState(3)
+
+    def w(shape):
+        return rng.normal(scale=0.05, size=shape).astype(np.float32)
+
+    with h5py.File(path, "w") as f:
+        def layer(name, weights):
+            g = f.create_group(name)
+            for wname, arr in weights.items():
+                g.create_dataset(f"{name}/{wname}:0", data=arr)
+
+        def bn(name, c):
+            layer(name, {"gamma": np.abs(w((c,))) + 0.5, "beta": w((c,)),
+                         "moving_mean": w((c,)),
+                         "moving_variance": np.abs(w((c,))) + 0.5})
+
+        layer("conv1", {"kernel": w((7, 7, 3, 64)), "bias": w((64,))})
+        bn("bn_conv1", 64)
+        stages = [("2", 64, 256, 3, 64), ("3", 128, 512, 4, 256)]
+        for sid, mid, out, nblocks, cin in stages:
+            for bi in range(nblocks):
+                rid = f"{sid}{'abcd'[bi]}"
+                c_in = cin if bi == 0 else out
+                layer(f"res{rid}_branch2a",
+                      {"kernel": w((1, 1, c_in, mid)), "bias": w((mid,))})
+                bn(f"bn{rid}_branch2a", mid)
+                layer(f"res{rid}_branch2b",
+                      {"kernel": w((3, 3, mid, mid)), "bias": w((mid,))})
+                bn(f"bn{rid}_branch2b", mid)
+                layer(f"res{rid}_branch2c",
+                      {"kernel": w((1, 1, mid, out)), "bias": w((out,))})
+                bn(f"bn{rid}_branch2c", out)
+                if bi == 0:
+                    layer(f"res{rid}_branch1",
+                          {"kernel": w((1, 1, c_in, out)),
+                           "bias": w((out,))})
+                    bn(f"bn{rid}_branch1", out)
+        layer("conv4_1", {"kernel": w((5, 5, 512, 256)),
+                          "bias": w((256,))})
+        layer("conv4_2", {"kernel": w((5, 5, 512, 256)),
+                          "bias": w((256,))})
+        for name, (i, o) in {"deconv1": (384, 256), "deconv2": (256, 256),
+                             "deconv3": (96, 128)}.items():
+            layer(name, {"kernel": w((5, 5, i, o)), "bias": w((o,))})
+        for i, c in enumerate([256, 256, 256, 256, 128, 256, 64, 128]):
+            bn(f"batch_normalization_{i + 1}", c)
+        layer("dense_1", {"kernel": w((8 * 8 * 512, 256)),
+                          "bias": w((256,))})
+        layer("dense_2", {"kernel": w((256, 8 * 8 * 256)),
+                          "bias": w((8 * 8 * 256,))})
+        ct = [(256, 256), (256, 128), (256, 64), (128, 3), (128, 1)]
+        for i, (cin, cout) in enumerate(ct):
+            layer(f"conv2d_transpose_{i + 1}",
+                  {"kernel": w((5, 5, cout, cin)), "bias": w((cout,))})
+
+
+def test_resnet50_generator_import_runs(tmp_path):
+    from pix2pose_tpu.models import build_generator
+
+    h5 = tmp_path / "inference_resnet_model.hdf5"
+    _write_fake_keras_resnet50_generator(h5)
+    model = build_generator("resnet50")
+    variables = hdf5_import.load_keras_generator_resnet50(str(h5), model)
+    xyz, prob = model.apply(variables, jnp.zeros((1, 128, 128, 3)))
+    assert xyz.shape == (1, 128, 128, 3)
+    assert np.isfinite(np.asarray(xyz)).all()
