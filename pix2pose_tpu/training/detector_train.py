@@ -74,14 +74,22 @@ def train_detector(store: DetectorStore, steps: int = 2000,
         if restored is not None:
             state = restored
             print(f"resumed detector from checkpoint {ep}")
-    step_fn = jax.jit(make_detector_step(model))
+    raw_step = make_detector_step(model)
+
+    # scene synthesis fused into the step: ONE program dispatch per
+    # iteration (also sidesteps the axon multi-program interleave stall —
+    # see .claude/skills/verify/SKILL.md)
+    @jax.jit
+    def step_fn(state, store, key, cur_lr):
+        batch = make_detector_batch(store, key, batch_size, im_size)
+        return raw_step(state, batch, cur_lr)
+
     key = jax.random.PRNGKey(seed + 1)
     t0 = time.time()
     for it in range(steps):
         key, kb = jax.random.split(key)
-        batch = make_detector_batch(store, kb, batch_size, im_size)
         cur_lr = lr * min(1.0, (it + 1) / 200)  # warmup
-        state, parts = step_fn(state, batch, cur_lr)
+        state, parts = step_fn(state, store, kb, cur_lr)
         if it % log_every == 0:
             m = jax.device_get(parts)
             print(f"it{it:05d} total={m['total']:.4f} "

@@ -77,7 +77,15 @@ def train_object(dataset: BopDataset, obj_id: int, back_dir: str,
     disc = Discriminator()
     state = create_train_state(jax.random.PRNGKey(obj_id), gen, disc, cfg)
     state, epoch = _maybe_resume(weight_dir, state)
-    step_fn = jax.jit(make_train_step(gen, disc, cfg))
+    raw_step = make_train_step(gen, disc, cfg)
+
+    # batch synthesis fused into the step: one program per iteration
+    @jax.jit
+    def step_fn(state, store, step_idx, lr, key):
+        kb, ks = jax.random.split(key)
+        batch = make_batch(store, kb, step_idx, cfg.batch_size,
+                           full_rotation=full_rot)
+        return raw_step(state, batch, sym_pool, lr, ks)
 
     n_batch = cfg.batches_per_epoch(store.n_data)
     key = jax.random.PRNGKey(1234 + obj_id)
@@ -87,10 +95,8 @@ def train_object(dataset: BopDataset, obj_id: int, back_dir: str,
         recon_hist = []
         t0 = time.time()
         for it in range(n_batch):
-            key, kb, ks = jax.random.split(key, 3)
-            batch = make_batch(store, kb, total_steps, cfg.batch_size,
-                               full_rotation=full_rot)
-            state, metrics = step_fn(state, batch, sym_pool, lr, ks)
+            key, ks = jax.random.split(key)
+            state, metrics = step_fn(state, store, total_steps, lr, ks)
             total_steps += 1
             if it % log_every == 0:
                 m = jax.device_get(metrics)
