@@ -27,3 +27,20 @@ from pix2pose_tpu.config import (  # noqa: F401
     TrainConfig,
     load_eval_config,
 )
+
+
+def __getattr__(name):
+    """Lazy top-level exports (keep `import pix2pose_tpu` light)."""
+    if name == "Pix2PoseEstimator":
+        from pix2pose_tpu.inference.engine import Pix2PoseEstimator
+        return Pix2PoseEstimator
+    if name == "BopEvaluator":
+        from pix2pose_tpu.eval.bop_eval import BopEvaluator
+        return BopEvaluator
+    if name == "BopDataset":
+        from pix2pose_tpu.data.bop import BopDataset
+        return BopDataset
+    if name == "build_generator":
+        from pix2pose_tpu.models import build_generator
+        return build_generator
+    raise AttributeError(name)
