@@ -42,18 +42,20 @@ class DetectorStore:
     @classmethod
     def from_patch_stores(cls, stores: dict, backs):
         """stores: {obj_id: PatchStore-like with rgb/mask/extent}; class
-        index = rank of obj_id."""
+        index = rank of obj_id. Pure device-side concatenation — no
+        device->host round trip (which would also flip the axon relay into
+        its slow per-launch mode; see docs/SCALING.md)."""
         rgbs, masks, labels, extents = [], [], [], []
         for ci, obj_id in enumerate(sorted(stores)):
             st = stores[obj_id]
-            rgbs.append(np.asarray(st.rgb))
-            masks.append(np.asarray(st.mask))
-            extents.append(np.asarray(st.extent))
-            labels.append(np.full(st.rgb.shape[0], ci, np.int32))
-        return cls(rgb=jnp.asarray(np.concatenate(rgbs)),
-                   mask=jnp.asarray(np.concatenate(masks)),
-                   label=jnp.asarray(np.concatenate(labels)),
-                   extent=jnp.asarray(np.concatenate(extents)),
+            rgbs.append(jnp.asarray(st.rgb))
+            masks.append(jnp.asarray(st.mask))
+            extents.append(jnp.asarray(st.extent))
+            labels.append(jnp.full((st.rgb.shape[0],), ci, jnp.int32))
+        return cls(rgb=jnp.concatenate(rgbs),
+                   mask=jnp.concatenate(masks),
+                   label=jnp.concatenate(labels),
+                   extent=jnp.concatenate(extents),
                    backs=jnp.asarray(backs),
                    num_classes=len(stores))
 

@@ -66,7 +66,8 @@ def make_detector_step(model: CenterNetDetector):
 def train_detector(store: DetectorStore, steps: int = 2000,
                    batch_size: int = 4, im_size: int = 512,
                    lr: float = 2.5e-4, ckpt_dir: str | None = None,
-                   log_every: int = 20, seed: int = 0):
+                   log_every: int = 20, seed: int = 0,
+                   save_every: int = 1000):
     model = CenterNetDetector(num_classes=store.num_classes)
     state = create_detector_state(jax.random.PRNGKey(seed), model, im_size)
     if ckpt_dir:
@@ -86,17 +87,24 @@ def train_detector(store: DetectorStore, steps: int = 2000,
 
     key = jax.random.PRNGKey(seed + 1)
     t0 = time.time()
+    # Logging hygiene: metric values are kept on device and fetched ONCE at
+    # the end — any mid-loop device_get flips the axon relay into a slow
+    # per-launch mode for the rest of the process (docs/SCALING.md).
+    history = []
     for it in range(steps):
         key, kb = jax.random.split(key)
         cur_lr = lr * min(1.0, (it + 1) / 200)  # warmup
         state, parts = step_fn(state, store, kb, cur_lr)
-        if it % log_every == 0:
-            m = jax.device_get(parts)
-            print(f"it{it:05d} total={m['total']:.4f} "
-                  f"heat={m['heat']:.4f} wh={m['wh']:.4f} "
-                  f"seg={m['seg']:.4f} ({time.time() - t0:.1f}s)")
-        if ckpt_dir and it > 0 and it % 1000 == 0:
-            ckpt.save_train_state(ckpt_dir, state, it // 1000)
+        if (it + 1) % log_every == 0:
+            history.append((it, parts))
+            print(f"it{it:05d} dispatched ({time.time() - t0:.1f}s)")
+        if ckpt_dir and it > 0 and it % save_every == 0:
+            ckpt.save_train_state(ckpt_dir, state, it // save_every)
+    history.append((steps - 1, parts))
+    for it, m in [(i, jax.device_get(p)) for i, p in history]:
+        print(f"it{it:05d} total={m['total']:.4f} heat={m['heat']:.4f} "
+              f"wh={m['wh']:.4f} seg={m['seg']:.4f}")
+    print(f"{steps} steps in {time.time() - t0:.1f}s")
     if ckpt_dir:
         ckpt.export_inference(ckpt_dir, state.params, state.stats)
     return model, {"params": state.params, "batch_stats": state.stats}

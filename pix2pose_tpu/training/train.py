@@ -94,19 +94,24 @@ def train_object(dataset: BopDataset, obj_id: int, back_dir: str,
         lr = cfg.lr_schedule[min(epoch, len(cfg.lr_schedule) - 1)]
         recon_hist = []
         t0 = time.time()
+        # metric fetches are deferred to epoch end: a mid-loop device_get
+        # flips the axon relay into its slow per-launch mode
+        # (docs/SCALING.md logging-hygiene note)
+        pending = []
         for it in range(n_batch):
             key, ks = jax.random.split(key)
             state, metrics = step_fn(state, store, total_steps, lr, ks)
             total_steps += 1
-            if it % log_every == 0:
-                m = jax.device_get(metrics)
-                recon_hist.append(float(m["recon_loss"]))
-                print(f"E{epoch:02d} it{it:04d}/{n_batch} "
-                      f"recon={m['recon_loss']:.4f} "
-                      f"disc={m['disc_loss']:.4f} "
-                      f"gen={m['gen_adv_loss']:.4f} lr={lr:g}")
+            if (it + 1) % log_every == 0:
+                pending.append((it, metrics))
             if max_steps is not None and total_steps >= max_steps:
                 break
+        for it, m in [(i, jax.device_get(p)) for i, p in pending]:
+            recon_hist.append(float(m["recon_loss"]))
+            print(f"E{epoch:02d} it{it:04d}/{n_batch} "
+                  f"recon={m['recon_loss']:.4f} "
+                  f"disc={m['disc_loss']:.4f} "
+                  f"gen={m['gen_adv_loss']:.4f} lr={lr:g}")
         epoch += 1
         ckpt.save_train_state(weight_dir, state, epoch)
         # validation montage

@@ -53,11 +53,15 @@ def latest_epoch(ckpt_dir: str) -> int:
 
 def restore_train_state(ckpt_dir: str, template, epoch: int | None = None):
     """Restore the given (or latest) epoch snapshot into ``template``'s
-    structure. Returns (state, epoch) or (None, -1)."""
-    ocp = _ocp()
+    structure. Returns (state, epoch) or (None, -1).
+
+    The no-checkpoint fast path touches no device buffers (a device_get
+    here would flip the axon relay into its slow per-launch mode for the
+    whole process; see docs/SCALING.md)."""
     e = latest_epoch(ckpt_dir) if epoch is None else epoch
     if e < 0:
         return None, -1
+    ocp = _ocp()
     path = os.path.join(os.path.abspath(ckpt_dir), f"epoch_{e:04d}")
     with ocp.PyTreeCheckpointer() as ckptr:
         state = ckptr.restore(path, item=jax.device_get(template))
