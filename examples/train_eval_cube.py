@@ -70,19 +70,30 @@ def main():
     cfg = TrainConfig(batch_size=args.batch)
     gen, disc = AutoEncoder(backbone="paper"), Discriminator()
     state = create_train_state(jax.random.PRNGKey(0), gen, disc, cfg)
-    step = jax.jit(make_train_step(gen, disc, cfg))
+    raw_step = make_train_step(gen, disc, cfg)
     sym = jnp.eye(3)[None]
+
+    # data synthesis fused into the step; metric fetches deferred to the
+    # end (see CLAUDE.md: the first device->host transfer slows all later
+    # launches on the axon relay)
+    @jax.jit
+    def step(state, store, it, lr, key):
+        kb, ks = jax.random.split(key)
+        batch = make_batch(store, kb, it, cfg.batch_size)
+        return raw_step(state, batch, sym, lr, ks)
+
     key = jax.random.PRNGKey(1)
     t0 = time.time()
+    history = []
     for it in range(args.steps):
-        key, kb, ks = jax.random.split(key, 3)
+        key, ks = jax.random.split(key)
         lr = 1e-3 if it < args.steps // 2 else (
             3e-4 if it < args.steps * 4 // 5 else 1e-4)
-        batch = make_batch(store, kb, it, cfg.batch_size)
-        state, m = step(state, batch, sym, lr, ks)
-        if it % 500 == 0:
-            print(f"it{it} recon={float(m['recon_loss']):.4f} "
-                  f"({time.time() - t0:.0f}s)")
+        state, m = step(state, store, it, lr, ks)
+        if (it + 1) % 500 == 0:
+            history.append((it, m))
+    for it, m in [(i, jax.device_get(p)) for i, p in history]:
+        print(f"it{it} recon={float(m['recon_loss']):.4f}")
     print(f"{args.steps} steps in {time.time() - t0:.0f}s")
 
     ds_test = BopDataset(root + "_test", "cubes", train=False)
