@@ -205,3 +205,57 @@ def _iou(a, b):
     if union == 0:
         return 0.0
     return np.logical_and(a, b).sum() / union
+
+
+def main(argv=None):
+    """CLI mirroring ``python3 tools/5_evaluation_bop_icp3d.py <gpu> <cfg>
+    <dataset>`` (JAX-native device selection, so no gpu arg)."""
+    import argparse
+    import json
+
+    from pix2pose_tpu.config import load_eval_config
+    from pix2pose_tpu.data.ply import load_ply
+    from pix2pose_tpu.inference.detector import (GtDetector,
+                                                 PrecomputedDetector)
+    from pix2pose_tpu.models import build_generator
+    from pix2pose_tpu.ops.color import obj_param_from_norm_factor
+    from pix2pose_tpu.utils import checkpoint as ckpt_util
+
+    p = argparse.ArgumentParser()
+    p.add_argument("cfg")
+    p.add_argument("dataset")
+    p.add_argument("--detections", default=None)
+    p.add_argument("--max-det", type=int, default=8)
+    args = p.parse_args(argv)
+
+    cfg = load_eval_config(args.cfg)
+    ds = BopDataset(cfg.dataset_dir, args.dataset, train=False)
+    with open(os.path.join(ds.dir, "models_xyz", cfg.norm_factor_fn)) as f:
+        norm = json.load(f)
+
+    model = build_generator(cfg.backbone)
+    est = Pix2PoseEstimator(model, cfg.estimator(0))
+    params_by_obj, obj_params, meshes = {}, {}, {}
+    for obj_id in ds.model_ids:
+        if cfg.target_obj and obj_id not in cfg.target_obj:
+            continue
+        wdir = os.path.join(ds.dir, "pix2pose_weights", f"{obj_id:02d}")
+        variables = ckpt_util.load_inference_params(wdir, model)
+        if variables is None:
+            print(f"skip obj {obj_id}: no weights under {wdir}")
+            continue
+        params_by_obj[obj_id] = variables
+        obj_params[obj_id] = obj_param_from_norm_factor(norm[str(obj_id)])
+        mesh = load_ply(ds.model_ply_path(obj_id))
+        meshes[obj_id] = (mesh["pts"], mesh["faces"])
+
+    detector = (PrecomputedDetector(args.detections) if args.detections
+                else GtDetector(ds))
+    ev = BopEvaluatorICP(ds, cfg, est, params_by_obj, obj_params, meshes,
+                         detector, max_det=args.max_det)
+    results = ev.run(out_dir=cfg.path_to_output)
+    print(f"{len(results)} results written to {cfg.path_to_output}")
+
+
+if __name__ == "__main__":
+    main()
