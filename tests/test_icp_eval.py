@@ -106,3 +106,60 @@ def test_rgbd_eval_end_to_end(icp_pipeline):
         assert rot_err_deg(r["R"], R_gt) < 5.0
         # ICP-refined translation should be accurate to a few mm
         assert np.linalg.norm(r["t"] - t_gt) < 15.0
+
+
+class _RelabeledDetector:
+    """Wraps GtDetector but reports a non-target obj_id — round 0 must skip
+    it, round 1 must recover the missing object from the unused ROI
+    (reference icp3d:394-433)."""
+
+    def __init__(self, ds, wrong_id=77):
+        self.inner = GtDetector(ds)
+        self.wrong_id = wrong_id
+
+    def detect(self, scene_id, im_id, rgb):
+        dets = self.inner.detect(scene_id, im_id, rgb)
+        for d in dets:
+            d.obj_id = self.wrong_id
+        return dets
+
+
+def test_round2_recovers_missing_object(icp_pipeline):
+    root, entries, ev = icp_pipeline
+    import copy
+    ev2 = BopEvaluatorICP(ev.ds, ev.cfg, ev.est, ev.params_by_obj,
+                          ev.obj_params, {1: cube_mesh(40.0)},
+                          _RelabeledDetector(ev.ds), max_det=2)
+    results = ev2.run(target_list=[(0, 0, [1], [1])])
+    assert len(results) >= 1
+    assert results[0]["obj_id"] == 1  # recovered despite wrong detector id
+    gt = {(s, i): (R, t) for s, i, R, t in entries}
+    R_gt, t_gt = gt[(0, 0)]
+    assert rot_err_deg(results[0]["R"], R_gt) < 5.0
+
+
+class _DuplicatingDetector:
+    def __init__(self, ds):
+        self.inner = GtDetector(ds)
+
+    def detect(self, scene_id, im_id, rgb):
+        dets = self.inner.detect(scene_id, im_id, rgb)
+        return dets + [copy.deepcopy(d) for d in dets]
+
+
+import copy
+
+
+def test_occupancy_gating_skips_duplicate_detections(icp_pipeline):
+    root, entries, ev = icp_pipeline
+    ev2 = BopEvaluatorICP(ev.ds, ev.cfg, ev.est, ev.params_by_obj,
+                          ev.obj_params, {1: cube_mesh(40.0)},
+                          _DuplicatingDetector(ev.ds), max_det=2)
+    rows = ev2._process_image(
+        ev.ds.load_rgb(0, 0),
+        ev.ds.load_depth(0, 0, 1.0),
+        ev.ds.scene_camera(0)[0]["cam_K"], 0, 0, [1], [1],
+        __import__("jax").random.PRNGKey(0))
+    # the duplicate ROI is occupancy-gated in round 0 and its round-1
+    # retest is blocked because the instance count is already filled
+    assert len(rows) == 1
