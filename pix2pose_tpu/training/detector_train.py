@@ -98,6 +98,11 @@ def train_detector(store: DetectorStore, steps: int = 2000,
         if (it + 1) % log_every == 0:
             history.append((it, parts))
             print(f"it{it:05d} dispatched ({time.time() - t0:.1f}s)")
+        if (it + 1) % 100 == 0:
+            # periodic sync (NOT a value fetch): caps the async dispatch
+            # queue, which can wedge the axon relay when thousands of
+            # launches pile up
+            jax.block_until_ready(parts["total"])
         if ckpt_dir and it > 0 and it % save_every == 0:
             ckpt.save_train_state(ckpt_dir, state, it // save_every)
     history.append((steps - 1, parts))

@@ -104,6 +104,10 @@ def train_object(dataset: BopDataset, obj_id: int, back_dir: str,
             total_steps += 1
             if (it + 1) % log_every == 0:
                 pending.append((it, metrics))
+            if (it + 1) % 100 == 0:
+                # periodic sync (not a value fetch) to cap the async
+                # dispatch queue — deep pipelines can wedge the axon relay
+                jax.block_until_ready(metrics["recon_loss"])
             if max_steps is not None and total_steps >= max_steps:
                 break
         for it, m in [(i, jax.device_get(p)) for i, p in pending]:
