@@ -58,14 +58,15 @@ class JaxDetector:
             if bbox[2] - bbox[0] < 4 or bbox[3] - bbox[1] < 4:
                 continue
             cls = int(det.cls[0, i])
-            # box-cropped semantic mask, resized to full frame
+            # box-cropped semantic mask: take the image's region of the
+            # (padded-square) seg grid, then resize to the full frame
             seg_c = seg[..., cls]
             from PIL import Image
-            m_full = np.asarray(Image.fromarray(
-                (seg_c * 255).astype(np.uint8)).resize(
-                (int(w * scale), int(h * scale)), Image.BILINEAR))
-            m = np.zeros((h, w), bool)
-            m_res = np.asarray(Image.fromarray(m_full).resize(
+            gh = max(int(round(h * scale / 4)), 1)
+            gw = max(int(round(w * scale / 4)), 1)
+            seg_img = seg_c[:gh, :gw]
+            m_res = np.asarray(Image.fromarray(
+                (seg_img * 255).astype(np.uint8)).resize(
                 (w, h), Image.BILINEAR)) > 127
             box_m = np.zeros((h, w), bool)
             box_m[bbox[0]:bbox[2] + 1, bbox[1]:bbox[3] + 1] = True
