@@ -15,7 +15,13 @@ from pix2pose_tpu.models.detector import (CenterNetDetector,
 class JaxDetector:
     """Runs the jitted detector and emits :class:`Detection` records with
     box-cropped semantic masks (the Mask-RCNN-mask stand-in for
-    score_type 2)."""
+    score_type 2).
+
+    The frame is anisotropically resized to the square training resolution
+    (the on-device scene composer trains on fully-covered square images, so
+    letterbox padding would be out-of-domain); boxes/masks are unscaled
+    per axis on the way out.
+    """
 
     def __init__(self, model: CenterNetDetector, variables,
                  class_to_obj_id, score_th: float = 0.3,
@@ -37,41 +43,35 @@ class JaxDetector:
     def detect(self, scene_id, im_id, rgb):
         h, w = rgb.shape[:2]
         s = self.input_size
-        scale = s / max(h, w)
         img = jnp.asarray(rgb, jnp.float32) / 255.0
-        img = jax.image.resize(img, (int(h * scale), int(w * scale), 3),
-                               method="linear")
-        pad = jnp.zeros((s, s, 3), jnp.float32)
-        img = pad.at[:img.shape[0], :img.shape[1]].set(img)
+        img = jax.image.resize(img, (s, s, 3), method="linear")
         det, seg = self._run(self.variables, img)
         det = jax.device_get(det)
         seg = np.asarray(seg[0])  # (s/4, s/4, C)
+        sv = h / s  # square px -> image px
+        su = w / s
         out = []
+        from PIL import Image
+
         for i in range(det.score.shape[1]):
             sc = float(det.score[0, i])
             if sc < self.score_th:
                 continue
-            bbox = np.asarray(det.bbox[0, i]) / scale
+            b = np.asarray(det.bbox[0, i])
+            bbox = np.array([b[0] * sv, b[1] * su, b[2] * sv, b[3] * su])
             bbox = np.round(
                 np.clip(bbox, [0, 0, 0, 0], [h - 1, w - 1, h - 1, w - 1])
             ).astype(np.int32)
             if bbox[2] - bbox[0] < 4 or bbox[3] - bbox[1] < 4:
                 continue
             cls = int(det.cls[0, i])
-            # box-cropped semantic mask: take the image's region of the
-            # (padded-square) seg grid, then resize to the full frame
-            seg_c = seg[..., cls]
-            from PIL import Image
-            gh = max(int(round(h * scale / 4)), 1)
-            gw = max(int(round(w * scale / 4)), 1)
-            seg_img = seg_c[:gh, :gw]
+            # semantic mask covers the whole (stretched) frame; resize back
             m_res = np.asarray(Image.fromarray(
-                (seg_img * 255).astype(np.uint8)).resize(
+                (seg[..., cls] * 255).astype(np.uint8)).resize(
                 (w, h), Image.BILINEAR)) > 127
             box_m = np.zeros((h, w), bool)
             box_m[bbox[0]:bbox[2] + 1, bbox[1]:bbox[3] + 1] = True
-            m = m_res & box_m
             out.append(Detection(bbox=bbox,
                                  obj_id=self.class_to_obj_id[cls],
-                                 score=sc, mask=m))
+                                 score=sc, mask=m_res & box_m))
         return out

@@ -119,7 +119,7 @@ def make_detector_batch(store: DetectorStore, key, batch_size: int = 8,
     c = store.num_classes
 
     def one_scene(k):
-        ks = jax.random.split(k, 3)
+        ks = jax.random.split(k, 5)
         pidx = jax.random.randint(ks[0], (k_obj,), 0,
                                   store.rgb.shape[0])
         bidx = jax.random.randint(ks[1], (), 0, store.backs.shape[0])
@@ -130,10 +130,17 @@ def make_detector_batch(store: DetectorStore, key, batch_size: int = 8,
         )(place_keys, pidx)  # (K,S,S,3), (K,S,S)
         labels = store.label[pidx]
 
-        # background: random crop of a 256-background upscaled to S
+        # background: random image crop upscaled to S; occasionally a flat
+        # uniform background so plain walls/tables stay in-domain
         back = jax.image.resize(
             store.backs[bidx].astype(jnp.float32) / 255.0,
             (im_size, im_size, 3), method="linear")
+        flat_val = jax.random.uniform(ks[3], (3,), minval=0.25,
+                                      maxval=0.75)
+        back = jnp.where(jax.random.bernoulli(ks[4], 0.2),
+                         jnp.broadcast_to(flat_val,
+                                          (im_size, im_size, 3)),
+                         back)
 
         # ordered compositing: slot k is occluded by slots > k
         def suffix_or(carry, m):
