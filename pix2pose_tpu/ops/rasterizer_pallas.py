@@ -30,7 +30,8 @@ FACE_CHUNK = 128
 FAR = 1e9
 
 
-def _kernel(tri_ref, out_z_ref, out_f_ref, out_a_ref, out_b_ref):
+def _kernel(tri_ref, bounds_ref, out_z_ref, out_f_ref, out_a_ref,
+            out_b_ref):
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
@@ -44,6 +45,25 @@ def _kernel(tri_ref, out_z_ref, out_f_ref, out_a_ref, out_b_ref):
         out_f_ref[:] = jnp.full((TILE_V, TILE_U), -1, jnp.int32)
         out_a_ref[:] = jnp.zeros((TILE_V, TILE_U), jnp.float32)
         out_b_ref[:] = jnp.zeros((TILE_V, TILE_U), jnp.float32)
+
+    # chunk-level binning: skip this face chunk entirely when its screen
+    # bbox cannot touch the tile (bounds_ref: v_min, v_max, u_min, u_max)
+    t_v0 = (tv * TILE_V).astype(jnp.float32)
+    t_u0 = (tu * TILE_U).astype(jnp.float32)
+    overlap = ((bounds_ref[kc, 1] >= t_v0)
+               & (bounds_ref[kc, 0] <= t_v0 + (TILE_V - 1))
+               & (bounds_ref[kc, 3] >= t_u0)
+               & (bounds_ref[kc, 2] <= t_u0 + (TILE_U - 1)))
+
+    @pl.when(overlap)
+    def _rasterize_chunk():
+        _chunk_body(tri_ref, out_z_ref, out_f_ref, out_a_ref, out_b_ref,
+                    tv, tu, kc)
+
+
+def _chunk_body(tri_ref, out_z_ref, out_f_ref, out_a_ref, out_b_ref,
+                tv, tu, kc):
+    import jax.numpy as jnp
 
     pv = (jax.lax.broadcasted_iota(jnp.int32, (TILE_V, TILE_U), 0)
           .astype(jnp.float32) + tv * TILE_V)
@@ -129,6 +149,18 @@ def rasterize_pallas(uv, z, faces, attrs, h: int, w: int,
     n_chunks = fp // FACE_CHUNK
     grid = (h // TILE_V, w // TILE_U, n_chunks)
 
+    # per-chunk screen bounds for tile-level binning (invalid faces must
+    # not widen them)
+    big = jnp.float32(1e9)
+    vmin = jnp.where(valid_face[:, None], tri_v, big).min(1)
+    vmax = jnp.where(valid_face[:, None], tri_v, -big).max(1)
+    umin = jnp.where(valid_face[:, None], tri_u, big).min(1)
+    umax = jnp.where(valid_face[:, None], tri_u, -big).max(1)
+    cs = lambda a, red: red(a.reshape(n_chunks, FACE_CHUNK), axis=1)
+    bounds = jnp.stack([cs(vmin, jnp.min), cs(vmax, jnp.max),
+                        cs(umin, jnp.min), cs(umax, jnp.max)],
+                       axis=1)  # (n_chunks, 4)
+
     out_shapes = (
         jax.ShapeDtypeStruct((h, w), jnp.float32),   # z
         jax.ShapeDtypeStruct((h, w), jnp.int32),     # face idx
@@ -142,11 +174,12 @@ def rasterize_pallas(uv, z, faces, attrs, h: int, w: int,
         grid=grid,
         in_specs=[pl.BlockSpec((9, FACE_CHUNK),
                                lambda tv, tu, kc: (0, kc),
-                               memory_space=pltpu.SMEM)],
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],  # full bounds
         out_specs=(tile_spec, tile_spec, tile_spec, tile_spec),
         out_shape=out_shapes,
         interpret=interpret,
-    )(packed)
+    )(packed, bounds)
 
     mask = zb < FAR / 2
     depth = jnp.where(mask, zb, 0.0)
