@@ -143,6 +143,23 @@ def rasterize_pallas(uv, z, faces, attrs, h: int, w: int,
     tri_v = uv[faces[:, :], 1]  # (fp, 3)
     tri_u = uv[faces[:, :], 0]
     tri_z = jnp.where(valid_face[:, None], z[faces[:, :]], -1.0)
+
+    # spatial sort: order faces by the screen tile of their centroid so
+    # each chunk's bbox is tight and the tile-level binning below prunes
+    # aggressively regardless of mesh ordering
+    n_tu = w // TILE_U
+    cv = jnp.clip(tri_v.mean(1), 0.0, h - 1.0)
+    cu = jnp.clip(tri_u.mean(1), 0.0, w - 1.0)
+    bin_id = (jnp.floor(cv / TILE_V) * n_tu
+              + jnp.floor(cu / TILE_U)).astype(jnp.int32)
+    bin_id = jnp.where(valid_face, bin_id, jnp.int32(2 ** 30))
+    order = jnp.argsort(bin_id)
+    tri_v = tri_v[order]
+    tri_u = tri_u[order]
+    tri_z = tri_z[order]
+    faces = faces[order]
+    valid_face = valid_face[order]
+
     # pack (9, fp): rows v1 v2 v3 u1 u2 u3 z1 z2 z3
     packed = jnp.concatenate([tri_v.T, tri_u.T, tri_z.T], axis=0)
 
