@@ -14,7 +14,9 @@ import sys
 import time
 
 os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+sys.path.insert(0, os.path.join(_ROOT, "tests"))
 
 import numpy as np
 
