@@ -63,17 +63,24 @@ def main():
                              obj_param, jax.random.split(key, n_img))
     jax.block_until_ready(out.R)
 
-    iters = 10
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = est.estimate_batch(
-            params, rgbs, bboxes, det_valid, cam_k, obj_param,
-            jax.random.split(jax.random.fold_in(key, i), n_img))
-    jax.block_until_ready(out.R)
-    dt = time.perf_counter() - t0
-
-    crops_per_sec = n_img * n_det * iters / dt
-    per_image_ms = dt / (iters * n_img) * 1000.0
+    # Several independent timing windows; report the MEDIAN window. The
+    # axon tunnel's per-launch overhead is bimodal run to run (see
+    # CLAUDE.md), so a single window under- or over-states steady-state
+    # throughput by up to ~1.7x. Median-of-windows is what we claim.
+    windows, iters = 7, 10
+    rates = []
+    for w in range(windows):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            out = est.estimate_batch(
+                params, rgbs, bboxes, det_valid, cam_k, obj_param,
+                jax.random.split(jax.random.fold_in(key, w * iters + i),
+                                 n_img))
+        jax.block_until_ready(out.R)
+        rates.append(n_img * n_det * iters / (time.perf_counter() - t0))
+    rates.sort()
+    crops_per_sec = rates[len(rates) // 2]
+    per_image_ms = n_det / crops_per_sec * 1000.0
     result = {
         "metric": "detection crops/sec/chip (AE+PnP-RANSAC, two-stage)",
         "value": round(crops_per_sec, 2),
