@@ -75,6 +75,11 @@ class BopEvaluator:
                  obj_params: dict, detector, max_det: int = 8,
                  method_name: str = "pix2pose-tpu"):
         """Args:
+          estimator: one shared :class:`Pix2PoseEstimator` OR a dict
+            {obj_id: estimator} for per-object configs (the reference's
+            per-object ``outlier_th`` resolution,
+            ``5_evaluation_bop_basic.py:164-170``); build the dict with
+            :func:`pix2pose_tpu.inference.engine.estimators_for_objects`.
           params_by_obj: {obj_id: generator variables}.
           obj_params: {obj_id: (6,) norm-factor vector}.
           detector: object with ``detect(scene_id, im_id, rgb)``.
@@ -89,10 +94,16 @@ class BopEvaluator:
         self.method_name = method_name
 
     # ------------------------------------------------------------------
+    def _est_for(self, obj_id) -> Pix2PoseEstimator:
+        if isinstance(self.est, dict):
+            return self.est[obj_id]
+        return self.est
+
     def warmup(self, key=None):
         """Compile the engine before timed recognition starts — the
         reference's ``dummy_run`` zero-image pass
-        (``5_evaluation_bop_basic.py:235-242``)."""
+        (``5_evaluation_bop_basic.py:235-242``). With per-object estimators,
+        each distinct compiled program is warmed once."""
         if not self.params_by_obj:
             return
         im_w, im_h = self.ds.im_size
@@ -101,13 +112,18 @@ class BopEvaluator:
         bboxes[0] = [0, 0, 128, 128]
         valid = np.zeros(self.max_det, bool)
         valid[0] = True
-        obj_id = next(iter(self.params_by_obj))
         cam_k = self.ds.cam_k if self.ds.cam_k is not None else np.eye(
             3, dtype=np.float32)
-        out = self.est(self.params_by_obj[obj_id], rgb, bboxes, valid,
-                       cam_k, self.obj_params[obj_id],
-                       key if key is not None else jax.random.PRNGKey(0))
-        jax.block_until_ready(out.R)
+        key = key if key is not None else jax.random.PRNGKey(0)
+        seen = set()
+        for obj_id in self.params_by_obj:
+            est = self._est_for(obj_id)
+            if id(est) in seen:
+                continue
+            seen.add(id(est))
+            out = est(self.params_by_obj[obj_id], rgb, bboxes, valid,
+                      cam_k, self.obj_params[obj_id], key)
+            jax.block_until_ready(out.R)
 
     # ------------------------------------------------------------------
     def run(self, target_list=None, out_dir: str | None = None,
@@ -187,19 +203,22 @@ class BopEvaluator:
                 continue
             for chunk_start in range(0, len(dets), self.max_det):
                 chunk = dets[chunk_start:chunk_start + self.max_det]
-                rows.extend(self._run_chunk(rgb, cam_k, obj_id, chunk, key))
+                # independent RANSAC draws per (object, chunk)
+                key, sub = jax.random.split(key)
+                rows.extend(self._run_chunk(rgb, cam_k, obj_id, chunk, sub))
         return rows
 
     def _run_chunk(self, rgb, cam_k, obj_id, dets, key) -> list:
         cfg = self.cfg
+        est = self._est_for(obj_id)
         n = self.max_det
         bboxes = np.zeros((n, 4), np.int32)
         valid = np.zeros(n, bool)
         for i, d in enumerate(dets):
             bboxes[i] = d.bbox
             valid[i] = True
-        out = self.est(self.params_by_obj[obj_id], rgb, bboxes, valid,
-                       cam_k, self.obj_params[obj_id], key)
+        out = est(self.params_by_obj[obj_id], rgb, bboxes, valid,
+                  cam_k, self.obj_params[obj_id], key)
 
         use_mask_score = (cfg.score_type == 2
                           and all(d.mask is not None for d in dets))
@@ -208,7 +227,7 @@ class BopEvaluator:
             for i, d in enumerate(dets):
                 det_masks[i] = d.mask
             iou, union = _mask_scores(jnp.asarray(det_masks), out.box2,
-                                      out.mask_pnp, self.est.pnp_stride)
+                                      out.mask_pnp, est.pnp_stride)
             iou = np.asarray(iou)
             union = np.asarray(union)
 
@@ -256,8 +275,12 @@ def main(argv: Sequence[str] | None = None):
                            cfg.norm_factor_fn)) as f:
         norm = json.load(f)
 
+    from pix2pose_tpu.inference.engine import estimators_for_objects
+
     model = build_generator(cfg.backbone)
-    est = Pix2PoseEstimator(model, cfg.estimator(0))
+    # one estimator per object: per-object outlier_th configs resolve like
+    # the reference (``5_evaluation_bop_basic.py:164-170,206-225``)
+    est = estimators_for_objects(model, cfg, ds.model_ids)
     params_by_obj, obj_params = {}, {}
     for m_id, obj_id in enumerate(ds.model_ids):
         if cfg.target_obj and obj_id not in cfg.target_obj:

@@ -42,7 +42,12 @@ class BopEvaluatorICP:
                  estimator: Pix2PoseEstimator, params_by_obj: dict,
                  obj_params: dict, meshes_mm: dict, detector,
                  max_det: int = 8, method_name: str = "pix2pose-tpu-icp"):
-        """meshes_mm: {obj_id: (verts_mm (V,3), faces (F,3))}."""
+        """Args:
+          estimator: one shared :class:`Pix2PoseEstimator` OR a dict
+            {obj_id: estimator} (per-object ``outlier_th``; see
+            :func:`pix2pose_tpu.inference.engine.estimators_for_objects`).
+          meshes_mm: {obj_id: (verts_mm (V,3), faces (F,3))}.
+        """
         self.ds = dataset
         self.cfg = cfg
         self.est = estimator
@@ -187,14 +192,20 @@ class BopEvaluatorICP:
                                  "R": best["R"], "t": best["t"]})
         return rows
 
+    def _est_for(self, obj_id) -> Pix2PoseEstimator:
+        if isinstance(self.est, dict):
+            return self.est[obj_id]
+        return self.est
+
     def _est_pose_single(self, rgb, cam_k, obj_id, bbox, key):
         n = self.max_det
         bboxes = np.zeros((n, 4), np.int32)
         bboxes[0] = bbox
         valid = np.zeros(n, bool)
         valid[0] = True
-        out = self.est(self.params_by_obj[obj_id], rgb, bboxes, valid,
-                       cam_k, self.obj_params[obj_id], key)
+        out = self._est_for(obj_id)(
+            self.params_by_obj[obj_id], rgb, bboxes, valid,
+            cam_k, self.obj_params[obj_id], key)
         if not bool(out.valid[0]):
             return None
         return np.asarray(out.R[0]), np.asarray(out.t[0])
@@ -233,8 +244,11 @@ def main(argv=None):
     with open(os.path.join(ds.dir, "models_xyz", cfg.norm_factor_fn)) as f:
         norm = json.load(f)
 
+    from pix2pose_tpu.inference.engine import estimators_for_objects
+
     model = build_generator(cfg.backbone)
-    est = Pix2PoseEstimator(model, cfg.estimator(0))
+    # per-object estimator configs (``5_evaluation_bop_basic.py:164-170``)
+    est = estimators_for_objects(model, cfg, ds.model_ids)
     params_by_obj, obj_params, meshes = {}, {}, {}
     for obj_id in ds.model_ids:
         if cfg.target_obj and obj_id not in cfg.target_obj:

@@ -95,6 +95,27 @@ def _select(tree, idx):
     return jax.tree_util.tree_map(lambda x: x[idx], tree)
 
 
+def estimators_for_objects(model, eval_cfg, model_ids, pnp_stride: int = 2):
+    """One estimator per object, deduped by resolved config.
+
+    The reference builds one ``pix2pose`` graph per object so that a
+    list-of-lists ``outlier_th`` config resolves per object
+    (``5_evaluation_bop_basic.py:164-170,206-225``, e.g.
+    ``cfg/cfg_tless_paper.json``). Estimators whose resolved configs are
+    identical share one instance — and hence one compiled XLA program.
+
+    Returns {obj_id: Pix2PoseEstimator}.
+    """
+    cache: dict = {}
+    out = {}
+    for idx, obj_id in enumerate(model_ids):
+        ecfg = eval_cfg.estimator(idx)
+        if ecfg not in cache:
+            cache[ecfg] = Pix2PoseEstimator(model, ecfg, pnp_stride)
+        out[obj_id] = cache[ecfg]
+    return out
+
+
 class Pix2PoseEstimator:
     """Per-object pose estimator over padded detection batches.
 
