@@ -16,12 +16,81 @@ padded detections x 3 outlier thresholds per program launch.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
 
 
 REFERENCE_CROPS_PER_SEC = 20.0
+
+
+def _median_rate(run_once, crops_per_iter, windows=7, iters=10):
+    import jax
+
+    rates = []
+    for w in range(windows):
+        t0 = time.perf_counter()
+        out = None
+        for i in range(iters):
+            out = run_once(w * iters + i)
+        jax.block_until_ready(out)
+        rates.append(crops_per_iter * iters / (time.perf_counter() - t0))
+    rates.sort()
+    return rates[len(rates) // 2]
+
+
+def main_multi_object():
+    """Variant: ALL objects of an image in one launch via estimate_objects
+    (stacked per-object params + object-vmap; the reference loops one graph
+    per object, ``5_evaluation_bop_basic.py:206-225``). Run with
+    ``python bench.py --multi-object``."""
+    import jax
+    import jax.numpy as jnp
+
+    from pix2pose_tpu.config import EstimatorConfig
+    from pix2pose_tpu.inference import Pix2PoseEstimator
+    from pix2pose_tpu.inference.engine import stack_object_params
+    from pix2pose_tpu.models import build_generator
+
+    n_obj, im_h, im_w, n_det = 8, 480, 640, 4
+    cam_k = jnp.asarray(
+        [[572.4, 0.0, 325.3], [0.0, 573.6, 242.0], [0.0, 0.0, 1.0]],
+        jnp.float32)
+    model = build_generator("paper", dtype=jnp.bfloat16)
+    params = [model.init(jax.random.PRNGKey(o), jnp.zeros((1, 128, 128, 3)))
+              for o in range(n_obj)]
+    stacked = stack_object_params(params)
+    est = Pix2PoseEstimator(
+        model, EstimatorConfig(outlier_th=(0.15, 0.25, 0.35)))
+
+    rng = np.random.RandomState(0)
+    rgb = rng.randint(0, 255, (im_h, im_w, 3)).astype(np.uint8)
+    bboxes = np.zeros((n_obj, n_det, 4), np.int32)
+    for o in range(n_obj):
+        for i in range(n_det):
+            v0, u0 = rng.randint(0, im_h - 140), rng.randint(0, im_w - 140)
+            bboxes[o, i] = [v0, u0, v0 + rng.randint(60, 130),
+                            u0 + rng.randint(60, 130)]
+    det_valid = np.ones((n_obj, n_det), bool)
+    obj_params = jnp.tile(
+        jnp.asarray([40., 40., 40., 0., 0., 0.], jnp.float32)[None],
+        (n_obj, 1))
+    key = jax.random.PRNGKey(0)
+
+    def run(i):
+        keys = jax.random.split(jax.random.fold_in(key, i), n_obj)
+        return est.estimate_objects(stacked, rgb, bboxes, det_valid,
+                                    cam_k, obj_params, keys).R
+
+    jax.block_until_ready(run(0))  # compile
+    rate = _median_rate(run, n_obj * n_det)
+    print(json.dumps({
+        "metric": "crops/sec, all-objects-one-launch "
+                  "(8 objects x 4 det, object-vmap)",
+        "value": round(rate, 2), "unit": "crops/s",
+        "vs_baseline": round(rate / REFERENCE_CROPS_PER_SEC, 2),
+        "device": str(jax.devices()[0])}))
 
 
 def main():
@@ -93,4 +162,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--multi-object" in sys.argv[1:]:
+        main_multi_object()
+    else:
+        main()

@@ -95,6 +95,13 @@ def _select(tree, idx):
     return jax.tree_util.tree_map(lambda x: x[idx], tree)
 
 
+def stack_object_params(params_list):
+    """Stack per-object generator variables on a leading object axis for
+    :meth:`Pix2PoseEstimator.estimate_objects`. All objects must share one
+    architecture (true per dataset: one backbone per config)."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *params_list)
+
+
 def estimators_for_objects(model, eval_cfg, model_ids, pnp_stride: int = 2):
     """One estimator per object, deduped by resolved config.
 
@@ -138,6 +145,13 @@ class Pix2PoseEstimator:
         # leading batch axis; params and norm factors are shared
         self._run_batch = jax.jit(jax.vmap(
             self._estimate, in_axes=(None, 0, 0, 0, 0, None, 0)))
+        # multi-OBJECT batching: params/boxes/valid/norm-factors/keys carry
+        # a leading object axis; the image and camera are shared. All
+        # objects of an image run in ONE launch — the reference instead
+        # loops one TF graph per object (``5_evaluation_bop_basic.py:
+        # 206-225, 289-304``).
+        self._run_objects = jax.jit(jax.vmap(
+            self._estimate, in_axes=(0, None, 0, 0, None, 0, 0)))
 
     # ------------------------------------------------------------------
     def __call__(self, params, rgb, bboxes, det_valid, cam_k, obj_param,
@@ -163,6 +177,16 @@ class Pix2PoseEstimator:
         amortizes launch overhead across a whole image stream."""
         return self._run_batch(params, rgbs, bboxes, det_valid, cam_ks,
                                obj_param, keys)
+
+    def estimate_objects(self, stacked_params, rgb, bboxes, det_valid,
+                         cam_k, obj_params, keys) -> PoseEstimate:
+        """Batched over OBJECTS of one image: stacked_params has every
+        param leaf stacked on a leading object axis (see
+        :func:`stack_object_params`), bboxes (O,N,4), det_valid (O,N),
+        obj_params (O,6), keys (O,2); rgb (H,W,3) and cam_k (3,3) shared.
+        Every returned field carries the (O, N, ...) axes."""
+        return self._run_objects(stacked_params, rgb, bboxes, det_valid,
+                                 cam_k, obj_params, keys)
 
     # ------------------------------------------------------------------
     def _estimate(self, params, rgb, bboxes, det_valid, cam_k, obj_param,

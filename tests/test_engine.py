@@ -89,6 +89,40 @@ def test_engine_object_at_image_border(estimator):
     assert np.linalg.norm(np.asarray(out.t[0]) - t) < 0.03 * t[2]
 
 
+def test_engine_object_vmap_matches_per_object_loop(estimator):
+    """estimate_objects (all objects of one image in a single launch) must
+    reproduce the per-object sequential launches — the reference's
+    one-graph-per-object loop (``5_evaluation_bop_basic.py:206-225``)."""
+    from pix2pose_tpu.inference.engine import stack_object_params
+    est, params = estimator
+    R, t = pose_with_euler()
+    rgb, obj_param, hit = xyz_scene(R, t)
+    # two "objects": same weights, different norm factors and boxes
+    obj_params = np.stack([np.asarray(obj_param),
+                           np.asarray(obj_param) * 1.5])
+    bboxes = np.stack([
+        np.stack([_bbox_from_hit(hit), np.zeros(4, np.int32)]),
+        np.stack([_bbox_from_hit(hit, (5, -4, -6, 3)),
+                  np.zeros(4, np.int32)]),
+    ])  # (O=2, N=2, 4)
+    det_valid = np.array([[True, False], [True, False]])
+    keys = jax.random.split(jax.random.PRNGKey(7), 2)
+
+    singles = [est(params, rgb, bboxes[o], det_valid[o], CAM_K,
+                   obj_params[o], keys[o]) for o in range(2)]
+    stacked = est.estimate_objects(
+        stack_object_params([params, params]), rgb, bboxes, det_valid,
+        CAM_K, obj_params, keys)
+    for o in range(2):
+        np.testing.assert_array_equal(np.asarray(stacked.valid[o]),
+                                      np.asarray(singles[o].valid))
+        np.testing.assert_allclose(np.asarray(stacked.R[o]),
+                                   np.asarray(singles[o].R), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(stacked.t[o]),
+                                   np.asarray(singles[o].t), rtol=1e-4,
+                                   atol=1e-2)
+
+
 def test_engine_batch_sharded_over_mesh(estimator):
     """Crop-sharded inference: 8 images sharded over the dp mesh axis must
     reproduce the unsharded batched results."""
