@@ -32,21 +32,38 @@ import jax.numpy as jnp
 from pix2pose_tpu.config import EvalConfig
 from pix2pose_tpu.data.bop import BopDataset, get_target_list, \
     save_bop_results
-from pix2pose_tpu.eval.icp_refine import make_icp_refiner
-from pix2pose_tpu.inference.engine import Pix2PoseEstimator
+from pix2pose_tpu.eval.icp_refine import (make_batch_icp_refiner,
+                                          make_icp_refiner, stack_meshes)
+from pix2pose_tpu.inference.engine import (Pix2PoseEstimator,
+                                           stack_object_params)
 from pix2pose_tpu.ops import geometry
+
+
+def _bucket(n: int) -> int:
+    """Next power of two ≥ n (shape buckets bound recompilation)."""
+    b = 1
+    while b < n:
+        b *= 2
+    return b
 
 
 class BopEvaluatorICP:
     def __init__(self, dataset: BopDataset, cfg: EvalConfig,
                  estimator: Pix2PoseEstimator, params_by_obj: dict,
                  obj_params: dict, meshes_mm: dict, detector,
-                 max_det: int = 8, method_name: str = "pix2pose-tpu-icp"):
+                 max_det: int = 8, method_name: str = "pix2pose-tpu-icp",
+                 batched: bool = True):
         """Args:
           estimator: one shared :class:`Pix2PoseEstimator` OR a dict
             {obj_id: estimator} (per-object ``outlier_th``; see
             :func:`pix2pose_tpu.inference.engine.estimators_for_objects`).
           meshes_mm: {obj_id: (verts_mm (V,3), faces (F,3))}.
+          batched: run all hypotheses of an image per round through TWO
+            launches (one object-vmapped engine pass + one hypothesis-
+            batched ICP refine) instead of the reference's per-ROI serial
+            loop (``5_evaluation_bop_icp3d.py:58-94,392-433``). Results
+            match the serial path (same gating, replayed on host from the
+            batched outputs); RANSAC key assignment differs.
         """
         self.ds = dataset
         self.cfg = cfg
@@ -64,6 +81,35 @@ class BopEvaluatorICP:
         self._normals = jax.jit(
             lambda d, k: geometry.normals_from_depth(d, k, refine=True))
         self._backproject = jax.jit(geometry.backproject)
+
+        # ---- batched-path object bank ----
+        self._obj_list = sorted(set(params_by_obj) & set(meshes_mm))
+        self.batched = batched and bool(self._obj_list)
+        if self.batched:
+            self._obj_index = {o: i for i, o in enumerate(self._obj_list)}
+            self._stacked_params = stack_object_params(
+                [params_by_obj[o] for o in self._obj_list])
+            self._obj_params_stack = np.stack(
+                [np.asarray(obj_params[o], np.float32)
+                 for o in self._obj_list])
+            sv, sf = stack_meshes(
+                [(np.asarray(meshes_mm[o][0]) / 1000.0, meshes_mm[o][1])
+                 for o in self._obj_list])
+            self._refine_batch = make_batch_icp_refiner(sv, sf, im_h, im_w)
+            # one engine instance + runtime per-object thresholds
+            if isinstance(estimator, dict):
+                ests = [estimator[o] for o in self._obj_list]
+                ths = [e.cfg.outlier_th for e in ests]
+                if len({len(t) for t in ths}) != 1:
+                    self.batched = False  # ragged T: keep the serial path
+                else:
+                    self._batch_est = ests[0]
+                    self._outlier_th_stack = np.asarray(ths, np.float32)
+            else:
+                self._batch_est = estimator
+                self._outlier_th_stack = np.tile(np.asarray(
+                    estimator.cfg.outlier_th, np.float32)[None],
+                    (len(self._obj_list), 1))
 
     # ------------------------------------------------------------------
     def run(self, target_list=None, out_dir: str | None = None, key=None):
@@ -119,6 +165,16 @@ class BopEvaluatorICP:
     # ------------------------------------------------------------------
     def _process_image(self, rgb, depth, cam_k, scene_id, im_id,
                        obj_id_targets, inst_counts, key):
+        fn = (self._process_image_batched if self.batched
+              else self._process_image_serial)
+        return fn(rgb, depth, cam_k, scene_id, im_id, obj_id_targets,
+                  inst_counts, key)
+
+    # ------------------------------------------------------------------
+    # Serial path: one launch per hypothesis, mirroring the reference's
+    # per-ROI loop. Kept as the behavioral oracle for the batched path.
+    def _process_image_serial(self, rgb, depth, cam_k, scene_id, im_id,
+                              obj_id_targets, inst_counts, key):
         depth_valid = (depth > 0.2) & (depth < 2.2)  # ``icp3d:367``
         tgt_pts = self._backproject(jnp.asarray(depth), cam_k)
         tgt_normals = self._normals(jnp.asarray(depth), cam_k)
@@ -191,6 +247,175 @@ class BopEvaluatorICP:
                                  "score": best["score"],
                                  "R": best["R"], "t": best["t"]})
         return rows
+
+    # ------------------------------------------------------------------
+    # Batched path: per round, ONE object-vmapped engine launch for every
+    # (ROI, candidate-object) pair plus ONE hypothesis-batched ICP refine
+    # launch; the reference's sequential gating (occupancy IoU, instance
+    # fill, round-1 acceptance) is replayed on host from the batched
+    # outputs. Gating only decides which results are USED — hypothesis
+    # computation is gate-independent, so results match the serial path.
+    def _process_image_batched(self, rgb, depth, cam_k, scene_id, im_id,
+                               obj_id_targets, inst_counts, key):
+        depth_valid = (depth > 0.2) & (depth < 2.2)  # ``icp3d:367``
+        depth_j = jnp.asarray(depth)
+        tgt_pts = self._backproject(depth_j, cam_k)
+        tgt_normals = self._normals(depth_j, cam_k)
+
+        detections = self.detector.detect(scene_id, im_id, rgb)
+        rows = []
+        occupancy = np.zeros(rgb.shape[:2], np.int32)
+        roi_used: set[int] = set()
+        inst_pred = np.zeros(len(obj_id_targets))
+
+        for rounds in range(2):
+            # 1. candidate (r_id, obj_id) pairs — a superset of what the
+            # gating replay will use (round-1 unfilled set only shrinks)
+            if rounds == 0:
+                pairs = [
+                    (r_id, det.obj_id)
+                    for r_id, det in enumerate(detections)
+                    if det.mask is not None
+                    and det.obj_id in obj_id_targets
+                    and det.obj_id in self._obj_index]
+            else:
+                unfilled = [
+                    obj for gt_no, obj in enumerate(obj_id_targets)
+                    if inst_pred[gt_no] < inst_counts[gt_no]
+                    and obj in self._obj_index]
+                if not unfilled:
+                    break
+                pairs = [
+                    (r_id, obj) for r_id, det in enumerate(detections)
+                    if r_id not in roi_used and det.mask is not None
+                    for obj in unfilled]
+            if not pairs:
+                continue
+
+            key, k_est, k_ref = jax.random.split(key, 3)
+            poses = self._estimate_pairs(rgb, cam_k, detections, pairs,
+                                         k_est)
+            refined = self._refine_pairs(detections, pairs, poses,
+                                         depth_valid, cam_k, depth_j,
+                                         tgt_pts, tgt_normals, k_ref)
+
+            # 2. replay the serial gating in detection order
+            for r_id, det in enumerate(detections):
+                if rounds == 1 and r_id in roi_used:
+                    continue
+                if det.mask is None:
+                    continue
+                if rounds == 0:
+                    if det.obj_id not in obj_id_targets:
+                        continue
+                    if _iou(occupancy == det.obj_id, det.mask) > 0.7:
+                        continue  # ``icp3d:409-411``
+                    candidates = [det.obj_id]
+                else:
+                    candidates = [
+                        obj for gt_no, obj in enumerate(obj_id_targets)
+                        if inst_pred[gt_no] < inst_counts[gt_no]]
+                    if not candidates:
+                        break
+                    if _iou(occupancy != 0, det.mask) > 0.7:
+                        continue  # ``icp3d:431-433``
+
+                best = None
+                for obj_id in candidates:
+                    r = refined.get((r_id, obj_id))
+                    if r is None:
+                        continue
+                    score = (det.score * r["fcn"] if rounds == 0
+                             else 0.001 * r["fcn"])  # ``icp3d:487-489``
+                    if best is None or score > best["score"]:
+                        best = dict(r, obj_id=obj_id, score=score)
+                if best is not None and best["score"] > 0:
+                    if rounds == 0 or best["ratio"] > 0.5:  # ``icp3d:502``
+                        gt_no = obj_id_targets.index(best["obj_id"])
+                        inst_pred[gt_no] += 1
+                        occupancy[best["inlier"]] = best["obj_id"]
+                        roi_used.add(r_id)
+                    rows.append({"obj_id": best["obj_id"],
+                                 "score": best["score"],
+                                 "R": best["R"], "t": best["t"]})
+        return rows
+
+    def _estimate_pairs(self, rgb, cam_k, detections, pairs, key):
+        """One engine launch for every (ROI, object) pair: pairs are packed
+        into per-object detection slots of an (O, N) grid and run through
+        :meth:`Pix2PoseEstimator.estimate_objects`. Returns
+        {(r_id, obj_id): (R, t)} for pairs with a valid pose."""
+        n_obj = len(self._obj_list)
+        per_obj: dict[int, list[int]] = {}
+        for r_id, obj in pairs:
+            per_obj.setdefault(self._obj_index[obj], []).append(r_id)
+        n_pad = _bucket(max(len(v) for v in per_obj.values()))
+        bboxes = np.zeros((n_obj, n_pad, 4), np.int32)
+        valid = np.zeros((n_obj, n_pad), bool)
+        slots = {}
+        for o_idx, r_ids in per_obj.items():
+            for s, r_id in enumerate(r_ids):
+                bboxes[o_idx, s] = detections[r_id].bbox
+                valid[o_idx, s] = True
+                slots[(r_id, self._obj_list[o_idx])] = (o_idx, s)
+
+        out = self._batch_est.estimate_objects(
+            self._stacked_params, rgb, bboxes, valid, cam_k,
+            self._obj_params_stack, jax.random.split(key, n_obj),
+            self._outlier_th_stack)
+        ok = np.asarray(out.valid)
+        R = np.asarray(out.R)
+        t = np.asarray(out.t)
+        return {pair: (R[o, s], t[o, s])
+                for pair, (o, s) in slots.items() if ok[o, s]}
+
+    def _refine_pairs(self, detections, pairs, poses, depth_valid, cam_k,
+                      depth_j, tgt_pts, tgt_normals, key):
+        """One batched ICP launch over all surviving hypotheses. Applies
+        the serial path's pre-filters (pose found, t_z ≥ 200 mm
+        ``icp3d:451-452``, union > 30 px ``icp3d:457-460``) and returns
+        {(r_id, obj_id): {fcn, ratio, R, t, inlier}}."""
+        unions = {}
+        hyps = []
+        for r_id, obj_id in pairs:
+            pose = poses.get((r_id, obj_id))
+            if pose is None:
+                continue
+            R0, t0 = pose
+            if t0[2] / 1000.0 < 0.2:
+                continue
+            if r_id not in unions:
+                unions[r_id] = detections[r_id].mask & depth_valid
+            if unions[r_id].sum() <= 30:
+                continue
+            hyps.append((r_id, obj_id, R0, t0))
+        if not hyps:
+            return {}
+
+        h_pad = _bucket(len(hyps))
+        obj_idx = np.zeros(h_pad, np.int32)
+        Rs = np.tile(np.eye(3, dtype=np.float32), (h_pad, 1, 1))
+        ts = np.zeros((h_pad, 3), np.float32)
+        u_masks = np.zeros((h_pad,) + depth_valid.shape, bool)
+        for i, (r_id, obj_id, R0, t0) in enumerate(hyps):
+            obj_idx[i] = self._obj_index[obj_id]
+            Rs[i] = R0
+            ts[i] = t0
+            u_masks[i] = unions[r_id]
+
+        ref = self._refine_batch(
+            jnp.asarray(obj_idx), jnp.asarray(Rs), jnp.asarray(ts), cam_k,
+            jnp.asarray(u_masks), depth_j, tgt_pts, tgt_normals,
+            jax.random.split(key, h_pad))
+        fcn = np.asarray(ref.score)
+        ratio = np.asarray(ref.ratio)
+        R_ref = np.asarray(ref.R)
+        t_ref = np.asarray(ref.t_mm)
+        inlier = np.asarray(ref.inlier_mask)
+        return {(r_id, obj_id): {
+                    "fcn": float(fcn[i]), "ratio": float(ratio[i]),
+                    "R": R_ref[i], "t": t_ref[i], "inlier": inlier[i]}
+                for i, (r_id, obj_id, _, _) in enumerate(hyps)}
 
     def _est_for(self, obj_id) -> Pix2PoseEstimator:
         if isinstance(self.est, dict):

@@ -149,9 +149,13 @@ class Pix2PoseEstimator:
         # a leading object axis; the image and camera are shared. All
         # objects of an image run in ONE launch — the reference instead
         # loops one TF graph per object (``5_evaluation_bop_basic.py:
-        # 206-225, 289-304``).
+        # 206-225, 289-304``). outlier_th is a runtime (O, T) array so
+        # per-object threshold configs (``basic:164-170``) share the one
+        # compiled program.
         self._run_objects = jax.jit(jax.vmap(
-            self._estimate, in_axes=(0, None, 0, 0, None, 0, 0)))
+            lambda p, rgb, bb, dv, K, op, k, th: self._estimate(
+                p, rgb, bb, dv, K, op, k, outlier_th=th),
+            in_axes=(0, None, 0, 0, None, 0, 0, 0)))
 
     # ------------------------------------------------------------------
     def __call__(self, params, rgb, bboxes, det_valid, cam_k, obj_param,
@@ -179,21 +183,33 @@ class Pix2PoseEstimator:
                                obj_param, keys)
 
     def estimate_objects(self, stacked_params, rgb, bboxes, det_valid,
-                         cam_k, obj_params, keys) -> PoseEstimate:
+                         cam_k, obj_params, keys,
+                         outlier_th=None) -> PoseEstimate:
         """Batched over OBJECTS of one image: stacked_params has every
         param leaf stacked on a leading object axis (see
         :func:`stack_object_params`), bboxes (O,N,4), det_valid (O,N),
         obj_params (O,6), keys (O,2); rgb (H,W,3) and cam_k (3,3) shared.
+        ``outlier_th`` optionally overrides the config thresholds per
+        object as an (O, T) array with T == len(cfg.outlier_th).
         Every returned field carries the (O, N, ...) axes."""
+        if outlier_th is None:
+            o = bboxes.shape[0]
+            outlier_th = jnp.tile(
+                jnp.asarray(self.cfg.outlier_th, jnp.float32)[None],
+                (o, 1))
         return self._run_objects(stacked_params, rgb, bboxes, det_valid,
-                                 cam_k, obj_params, keys)
+                                 cam_k, obj_params, keys,
+                                 jnp.asarray(outlier_th, jnp.float32))
 
     # ------------------------------------------------------------------
     def _estimate(self, params, rgb, bboxes, det_valid, cam_k, obj_param,
-                  key) -> PoseEstimate:
+                  key, outlier_th=None) -> PoseEstimate:
         cfg = self.cfg
         size = cfg.im_size
-        th_o = jnp.asarray(cfg.outlier_th, jnp.float32)  # (T,)
+        # outlier_th may be a runtime (T,) override (same T as the config)
+        th_o = (jnp.asarray(cfg.outlier_th, jnp.float32)
+                if outlier_th is None
+                else jnp.asarray(outlier_th, jnp.float32))  # (T,)
         n_th = len(cfg.outlier_th)
         im_h, im_w = rgb.shape[0], rgb.shape[1]
         n_det = bboxes.shape[0]

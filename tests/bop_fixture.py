@@ -17,6 +17,172 @@ from synthetic import CAM_K, pose_with_euler
 from test_rasterizer import cube_mesh
 
 
+def box_mesh(hx, hy, hz):
+    """Axis-aligned box [-hx,hx]x[-hy,hy]x[-hz,hz] (cube generalized)."""
+    v = np.array([[x, y, z] for x in (-hx, hx) for y in (-hy, hy)
+                  for z in (-hz, hz)], np.float32)
+    f = np.array([
+        [0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+        [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+        [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3],
+    ], np.int32)
+    return v, f
+
+
+def octahedron_mesh(half):
+    """Regular octahedron with vertices at ±half on each axis."""
+    v = np.array([[half, 0, 0], [-half, 0, 0], [0, half, 0],
+                  [0, -half, 0], [0, 0, half], [0, 0, -half]], np.float32)
+    f = np.array([[0, 2, 4], [2, 1, 4], [1, 3, 4], [3, 0, 4],
+                  [2, 0, 5], [1, 2, 5], [3, 1, 5], [0, 3, 5]], np.int32)
+    return v, f
+
+
+def _z180():
+    """Discrete 180-deg rotation about z as a 4x4 (BOP models_info form)."""
+    m = np.eye(4)
+    m[0, 0] = m[1, 1] = -1.0
+    return m.reshape(-1).tolist()
+
+
+def multishape_objects():
+    """Three analytic shapes incl. one discretely-symmetric object:
+    {obj_id: (verts, faces, scale(3,), sym_4x4_list)}."""
+    from test_rasterizer import cube_mesh as _cube
+
+    cube_v, cube_f = _cube(40.0)
+    prism_v, prism_f = box_mesh(22.0, 22.0, 55.0)
+    octa_v, octa_f = octahedron_mesh(38.0)
+    return {
+        1: (cube_v, cube_f, np.array([40.0, 40.0, 40.0], np.float32), None),
+        # square prism: 180-deg z rotation maps the GEOMETRY onto itself
+        2: (prism_v, prism_f, np.array([22.0, 22.0, 55.0], np.float32),
+            [_z180()]),
+        3: (octa_v, octa_f, np.array([38.0, 38.0, 38.0], np.float32), None),
+    }
+
+
+# Disjoint color bands per object: a pixel's band identifies its object, so
+# the per-object BandOracleGenerator suppresses occluders/background the
+# way a per-object trained network does. Background is white (in no band).
+SHAPE_BANDS = {1: (0.0, 0.30), 2: (0.33, 0.63), 3: (0.66, 0.96)}
+
+
+def build_multishape_dataset(root, n_scenes=1, ims_per_scene=4,
+                             im_h=480, im_w=640, split="test", seed=11):
+    """Dataset 'shapes': 3 objects per image (cube, z-sym square prism,
+    octahedron) with deliberate silhouette OVERLAP, per-instance visib
+    masks, combined depth, models_info symmetries, ViVo-style targets.
+    RGB images are unlit XYZ-color composites (min-depth winner per pixel)
+    so the oracle network yields exact correspondences per object.
+
+    Returns list of (scene_id, im_id, {obj_id: (R, t)}).
+    """
+    name = "shapes"
+    ds_dir = os.path.join(root, name)
+    model_dir = os.path.join(ds_dir, "models")
+    xyz_dir = os.path.join(ds_dir, "models_xyz")
+    os.makedirs(model_dir, exist_ok=True)
+    os.makedirs(xyz_dir, exist_ok=True)
+
+    objs = multishape_objects()
+    minfo, norm = {}, {}
+    for obj_id, (v, f, scale, sym) in objs.items():
+        save_ply(os.path.join(model_dir, f"obj_{obj_id:06d}.ply"), v, f)
+        ext = v.max(0) - v.min(0)
+        info = {"diameter": float(np.linalg.norm(ext)),
+                "min_x": float(v[:, 0].min()), "min_y": float(v[:, 1].min()),
+                "min_z": float(v[:, 2].min()), "size_x": float(ext[0]),
+                "size_y": float(ext[1]), "size_z": float(ext[2])}
+        if sym is not None:
+            info["symmetries_discrete"] = sym
+        minfo[str(obj_id)] = info
+        norm[str(obj_id)] = {
+            "x_scale": float(scale[0]), "y_scale": float(scale[1]),
+            "z_scale": float(scale[2]), "x_ct": 0.0, "y_ct": 0.0,
+            "z_ct": 0.0}
+    with open(os.path.join(model_dir, "models_info.json"), "w") as f:
+        json.dump(minfo, f)
+    with open(os.path.join(xyz_dir, "norm_factor.json"), "w") as f:
+        json.dump(norm, f)
+    with open(os.path.join(ds_dir, "camera.json"), "w") as f:
+        json.dump({"fx": float(CAM_K[0, 0]), "fy": float(CAM_K[1, 1]),
+                   "cx": float(CAM_K[0, 2]), "cy": float(CAM_K[1, 2]),
+                   "width": im_w, "height": im_h, "depth_scale": 1.0}, f)
+
+    from PIL import Image
+
+    # base placements: prism sits BEHIND the cube with overlapping
+    # silhouettes (occluded), octahedron clear on the left
+    base_t = {1: np.array([15.0, 5.0, 620.0]),
+              2: np.array([65.0, -15.0, 730.0]),
+              3: np.array([-130.0, -40.0, 650.0])}
+    rng = np.random.RandomState(seed)
+    entries, targets = [], []
+    for s in range(n_scenes):
+        sdir = os.path.join(ds_dir, split, f"{s:06d}")
+        os.makedirs(os.path.join(sdir, "rgb"), exist_ok=True)
+        os.makedirs(os.path.join(sdir, "depth"), exist_ok=True)
+        os.makedirs(os.path.join(sdir, "mask_visib"), exist_ok=True)
+        cam, gt = {}, {}
+        for i in range(ims_per_scene):
+            depth_all = np.full((im_h, im_w), np.inf, np.float32)
+            rgb = np.full((im_h, im_w, 3), 255, np.uint8)  # white bg
+            winner = np.zeros((im_h, im_w), np.int32)
+            per_obj = {}
+            for obj_id, (v, f, scale, _) in objs.items():
+                R, t = pose_with_euler(
+                    yaw=rng.uniform(-1, 1), pitch=rng.uniform(-0.6, 0.6),
+                    roll=rng.uniform(-1, 1),
+                    tx=base_t[obj_id][0] + rng.uniform(-15, 15),
+                    ty=base_t[obj_id][1] + rng.uniform(-15, 15),
+                    tz=base_t[obj_id][2] + rng.uniform(-30, 30))
+                lo, hi = SHAPE_BANDS[obj_id]
+                base01 = (v / scale + 1.0) / 2.0
+                colors = ((lo + (hi - lo) * base01) * 255.0).astype(
+                    np.float32)
+                out = rasterizer.render_mesh(v, f, colors, R, t, CAM_K,
+                                             im_h, im_w)
+                d = np.asarray(out.depth)
+                m = np.asarray(out.mask)
+                d = np.where(m, d, np.inf)
+                win = m & (d < depth_all)
+                depth_all = np.where(win, d, depth_all)
+                rgb[win] = np.clip(np.asarray(out.attr)[win], 0,
+                                   255).astype(np.uint8)
+                winner[win] = obj_id
+                per_obj[obj_id] = (R, t)
+            # winner map is final only after all objects composited
+            Image.fromarray(rgb).save(
+                os.path.join(sdir, "rgb", f"{i:06d}.png"))
+            depth_mm = np.where(np.isfinite(depth_all), depth_all,
+                                0.0).astype(np.float32)
+            Image.fromarray(depth_mm.astype(np.uint16)).save(
+                os.path.join(sdir, "depth", f"{i:06d}.png"))
+            gt_list = []
+            for gt_id, (obj_id, (R, t)) in enumerate(per_obj.items()):
+                visib = winner == obj_id
+                Image.fromarray((visib * 255).astype(np.uint8)).save(
+                    os.path.join(sdir, "mask_visib",
+                                 f"{i:06d}_{gt_id:06d}.png"))
+                gt_list.append({"obj_id": obj_id,
+                                "cam_R_m2c": R.reshape(-1).tolist(),
+                                "cam_t_m2c": t.tolist()})
+                targets.append({"scene_id": s, "im_id": i,
+                                "obj_id": obj_id, "inst_count": 1})
+            cam[str(i)] = {"cam_K": np.asarray(CAM_K).reshape(-1).tolist(),
+                           "depth_scale": 1.0}
+            gt[str(i)] = gt_list
+            entries.append((s, i, per_obj))
+        with open(os.path.join(sdir, "scene_camera.json"), "w") as f:
+            json.dump(cam, f)
+        with open(os.path.join(sdir, "scene_gt.json"), "w") as f:
+            json.dump(gt, f)
+    with open(os.path.join(ds_dir, "test_targets_bop19.json"), "w") as f:
+        json.dump(targets, f)
+    return entries
+
+
 def build_cube_dataset(root, n_scenes=1, ims_per_scene=2, half=40.0,
                        im_h=480, im_w=640, xyz_colored=True,
                        split="test"):

@@ -66,6 +66,33 @@ class OracleGenerator(nn.Module):
         return xyz, prob
 
 
+class BandOracleGenerator(nn.Module):
+    """Object-SELECTIVE oracle for multi-object scenes: decodes only colors
+    within its object's color band (stored as a param so per-object
+    variables stack for ``estimate_objects``), emitting gray + high error
+    elsewhere — the analytic analogue of a per-object trained network
+    suppressing occluders and background (reference trains one net per
+    object, ``3_train_pix2pose.py``)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        band = self.param("band",
+                          lambda key: jnp.array([0.0, 1.0], jnp.float32))
+        lo, hi = band[0], band[1]
+        c = (jnp.clip(x, -1.0, 1.0) + 1.0) / 2.0
+        inside = jnp.all((c >= lo - 0.005) & (c <= hi + 0.005),
+                         axis=-1, keepdims=True)
+        out01 = (c - lo) / jnp.maximum(hi - lo, 1e-6)
+        dec = jnp.where(inside, jnp.clip(out01 * 2.0 - 1.0, -1.0, 1.0), 0.0)
+        prob = jnp.where(inside, 0.01, 0.99).astype(x.dtype)
+        return dec, prob
+
+
+def band_oracle_params(lo: float, hi: float):
+    """Variables for :class:`BandOracleGenerator` selecting [lo, hi]^3."""
+    return {"params": {"band": jnp.array([lo, hi], jnp.float32)}}
+
+
 def pose_with_euler(yaw=0.4, pitch=-0.3, roll=0.2, tx=10.0, ty=-20.0,
                     tz=600.0):
     cz, sz = np.cos(yaw), np.sin(yaw)

@@ -150,6 +150,34 @@ class _DuplicatingDetector:
 import copy
 
 
+def test_batched_path_matches_serial(icp_pipeline):
+    """The O(1)-launches-per-round path must reproduce the per-hypothesis
+    serial loop (reference semantics): same accepted rows, same objects,
+    poses within RANSAC-draw tolerance."""
+    root, entries, ev = icp_pipeline
+    assert ev.batched  # default
+    # fresh same-seed detectors: GtDetector jitter draws are stateful
+    ev_batch = BopEvaluatorICP(ev.ds, ev.cfg, ev.est, ev.params_by_obj,
+                               ev.obj_params, {1: cube_mesh(40.0)},
+                               GtDetector(ev.ds, jitter=4, seed=3),
+                               max_det=2, batched=True)
+    ev_serial = BopEvaluatorICP(ev.ds, ev.cfg, ev.est, ev.params_by_obj,
+                                ev.obj_params, {1: cube_mesh(40.0)},
+                                GtDetector(ev.ds, jitter=4, seed=3),
+                                max_det=2, batched=False)
+    assert not ev_serial.batched
+    tl = [(0, 0, [1], [1]), (0, 1, [1], [1])]
+    rows_b = ev_batch.run(target_list=tl)
+    rows_s = ev_serial.run(target_list=tl)
+    assert len(rows_b) == len(rows_s)
+    for rb, rs in zip(rows_b, rows_s):
+        assert (rb["scene_id"], rb["im_id"], rb["obj_id"]) == \
+            (rs["scene_id"], rs["im_id"], rs["obj_id"])
+        assert rot_err_deg(rb["R"], rs["R"]) < 2.0
+        assert np.linalg.norm(rb["t"] - rs["t"]) < 10.0
+        assert abs(rb["score"] - rs["score"]) < 0.05
+
+
 def test_occupancy_gating_skips_duplicate_detections(icp_pipeline):
     root, entries, ev = icp_pipeline
     ev2 = BopEvaluatorICP(ev.ds, ev.cfg, ev.est, ev.params_by_obj,
