@@ -103,6 +103,36 @@ class BopDataset:
             pool.append(np.asarray(m, np.float32).reshape(4, 4)[:3, :3])
         return np.stack(pool)
 
+    def symmetry_transforms(self, obj_id: int,
+                            n_continuous: int = 36) -> tuple:
+        """Full (R, t) symmetry pool for BOP scoring, identity first:
+        discrete 4x4s keep their translation part (some T-LESS/HB/YCB-V
+        symmetries carry non-zero t), continuous symmetries are densified
+        into ``n_continuous`` rotations about the axis with
+        t = offset - R @ offset (bop_toolkit convention).
+
+        Returns (sym_R (S,3,3) float32, sym_t (S,3) float32).
+        """
+        info = self.model_info(obj_id)
+        Rs = [np.eye(3, dtype=np.float32)]
+        ts = [np.zeros(3, np.float32)]
+        for m in info.get("symmetries_discrete", []):
+            m = np.asarray(m, np.float32).reshape(4, 4)
+            Rs.append(m[:3, :3])
+            ts.append(m[:3, 3])
+        for c in info.get("symmetries_continuous", []):
+            axis = np.asarray(c["axis"], np.float64)
+            axis = axis / max(np.linalg.norm(axis), 1e-12)
+            offset = np.asarray(c.get("offset", [0.0, 0.0, 0.0]),
+                                np.float64)
+            from scipy.spatial.transform import Rotation
+            for a in np.linspace(0, 2 * np.pi, n_continuous,
+                                 endpoint=False)[1:]:
+                R = Rotation.from_rotvec(axis * a).as_matrix()
+                Rs.append(R.astype(np.float32))
+                ts.append((offset - R @ offset).astype(np.float32))
+        return np.stack(Rs), np.stack(ts)
+
     def has_continuous_symmetry(self, obj_id: int) -> bool:
         return "symmetries_continuous" in self.model_info(obj_id)
 

@@ -19,6 +19,13 @@ implement the BOP'19 protocol natively:
 Distance kernels are jitted/vmapped over the symmetry pool; the matching
 harness (greedy by score against GT instances, top-n per target) runs on
 host.
+
+Known approximation vs bop_toolkit: estimate-to-GT matching here is
+threshold-independent (each estimate greedily takes its min-error GT,
+ranked by mssd first), whereas bop_toolkit re-matches greedily per error
+threshold and per metric. In multi-instance scenes this can shift AR by a
+small amount relative to official scoring; single-instance targets are
+unaffected.
 """
 
 from __future__ import annotations
@@ -57,21 +64,33 @@ def adi_metric(pts, R_est, t_est, R_gt, t_gt):
     return jnp.mean(jnp.sqrt(jnp.maximum(jnp.min(d2, axis=1), 0.0)))
 
 
+def _sym_pool_rt(sym_pool):
+    """Accept either (S,3,3) rotations or an ((S,3,3), (S,3)) pair of full
+    rigid symmetry transforms (bop_toolkit uses the full (R_s, t_s) —
+    some T-LESS/HB/YCB-V symmetries carry non-zero translation)."""
+    if isinstance(sym_pool, tuple):
+        return sym_pool
+    sym_pool = jnp.asarray(sym_pool)
+    return sym_pool, jnp.zeros((sym_pool.shape[0], 3), sym_pool.dtype)
+
+
 @jax.jit
 def mssd_metric(pts, sym_pool, R_est, t_est, R_gt, t_gt):
     """min over symmetries of max vertex distance (mm)."""
+    sym_R, sym_t = _sym_pool_rt(sym_pool)
     a = pts @ R_est.T + t_est
 
-    def per_sym(S):
-        b = (pts @ S.T) @ R_gt.T + t_gt
+    def per_sym(S, St):
+        b = (pts @ S.T + St) @ R_gt.T + t_gt
         return jnp.max(jnp.linalg.norm(a - b, axis=1))
 
-    return jnp.min(jax.vmap(per_sym)(sym_pool))
+    return jnp.min(jax.vmap(per_sym)(sym_R, sym_t))
 
 
 @jax.jit
 def mspd_metric(pts, sym_pool, K, R_est, t_est, R_gt, t_gt):
     """min over symmetries of max projected distance (px)."""
+    sym_R, sym_t = _sym_pool_rt(sym_pool)
 
     def proj(p):
         z = jnp.maximum(p[:, 2], 1e-9)
@@ -81,11 +100,11 @@ def mspd_metric(pts, sym_pool, K, R_est, t_est, R_gt, t_gt):
 
     a = proj(pts @ R_est.T + t_est)
 
-    def per_sym(S):
-        b = proj((pts @ S.T) @ R_gt.T + t_gt)
+    def per_sym(S, St):
+        b = proj((pts @ S.T + St) @ R_gt.T + t_gt)
         return jnp.max(jnp.linalg.norm(a - b, axis=1))
 
-    return jnp.min(jax.vmap(per_sym)(sym_pool))
+    return jnp.min(jax.vmap(per_sym)(sym_R, sym_t))
 
 
 def make_vsd(verts_mm, faces, im_h: int, im_w: int, delta_mm: float = 15.0):
@@ -107,6 +126,11 @@ def make_vsd(verts_mm, faces, im_h: int, im_w: int, delta_mm: float = 15.0):
         # depth (or no scene measurement -> visible)
         vis_est = m_est & (~has_scene | (d_est < depth_scene + delta_mm))
         vis_gt = m_gt & (~has_scene | (d_gt < depth_scene + delta_mm))
+        # BOP'19 extension (bop_toolkit visibility.py): estimate pixels
+        # where the GT surface is visible count as visible even when
+        # occluded by scene depth, so occlusion mismatch is not penalized
+        # twice
+        vis_est = vis_est | (vis_gt & m_est)
         union = vis_est | vis_gt
         inter = vis_est & vis_gt
         dist = jnp.abs(d_est - d_gt)
@@ -171,18 +195,11 @@ def evaluate_bop(results, dataset, target_list=None, metrics=("vsd",
             idx = _subsample_idx(m["pts"].shape[0], n_pts)
             meshes[obj_id] = (jnp.asarray(m["pts"][idx]),
                               m["pts"], m["faces"])
-            pool = dataset.symmetry_pool(obj_id)
-            info = dataset.model_info(obj_id)
-            if "symmetries_continuous" in info:
-                axis = np.asarray(
-                    info["symmetries_continuous"][0]["axis"], np.float64)
-                from scipy.spatial.transform import Rotation
-                extra = [Rotation.from_rotvec(axis * a).as_matrix()
-                         for a in np.linspace(0, 2 * np.pi, 36,
-                                              endpoint=False)]
-                pool = np.concatenate(
-                    [pool, np.asarray(extra, np.float32)], axis=0)
-            sym_pools[obj_id] = jnp.asarray(pool)
+            # full (R_s, t_s) symmetry transforms incl. densified
+            # continuous symmetries with their offsets (bop_toolkit
+            # get_symmetry_transformations equivalence)
+            sym_R, sym_t = dataset.symmetry_transforms(obj_id)
+            sym_pools[obj_id] = (jnp.asarray(sym_R), jnp.asarray(sym_t))
             diams[obj_id] = float(
                 dataset.model_info(obj_id).get("diameter", 0.0)) or float(
                 np.linalg.norm(m["pts"].max(0) - m["pts"].min(0)))

@@ -328,11 +328,15 @@ class Pix2PoseEstimator:
         R = sel(res.R)
         t = sel(res.t)
         n_inl = sel(res.n_inliers)
-        # reference counts inliers at crop resolution and stage-1 foreground
-        # at the 128 grid; our inliers live on the st-strided grid, so scale
-        # counts by st^2 to keep the same fraction scale (``recognition:193``)
-        frac = (n_inl.astype(jnp.float32) * float(st * st)) / jnp.maximum(
-            n_init.astype(jnp.float32), 1.0)
+        # the reference counts inliers at CROP-WINDOW resolution (pred
+        # upscaled to the stage-2 window, ``recognition.py:210-223``) while
+        # stage-1 foreground is counted on the 128 grid, so its fraction
+        # carries a window_area/128^2 factor; our inliers live on the
+        # st-strided grid -> scale counts by window_area/gs^2 so score_type
+        # 2 ranks different-sized detections like the reference
+        win_area = (box2.height * box2.width).astype(jnp.float32)
+        frac = (n_inl.astype(jnp.float32) * win_area / float(gs * gs)) \
+            / jnp.maximum(n_init.astype(jnp.float32), 1.0)
         # PnP valid-pixel mask (reference ``valid_mask`` at ``:204``)
         valid_sel = sel(pnp_valid)
         fg_sel = sel(fg2)

@@ -48,6 +48,54 @@ def test_mssd_symmetry_invariance(cube):
     assert err1 > 50.0
 
 
+def test_mssd_symmetry_with_translation(cube):
+    """Symmetries whose 4x4 carries a translation (some T-LESS/HB/YCB-V
+    objects) must use the full (R_s, t_s): estimate == GT ∘ (S_R, S_t)
+    scores ~0 only when the t_s is applied."""
+    pts, _, _ = cube
+    R, t = pose_with_euler()
+    rot180 = np.diag([-1.0, -1.0, 1.0]).astype(np.float32)
+    s_t = np.array([6.0, -4.0, 2.0], np.float32)
+    # estimate pose = GT pose composed with the full symmetry transform:
+    # x -> R (S_R x + S_t) + t  ==  (R S_R) x + (R S_t + t)
+    R_est = (R @ rot180).astype(np.float32)
+    t_est = (R @ s_t + t).astype(np.float32)
+    pool_rt = (jnp.asarray(np.stack([np.eye(3, dtype=np.float32), rot180])),
+               jnp.asarray(np.stack([np.zeros(3, np.float32), s_t])))
+    err = float(metrics.mssd_metric(pts, pool_rt, R_est, t_est, R, t))
+    assert err < 1e-3
+    # rotation-only pool misses by ~|s_t|
+    pool_r = jnp.asarray(np.stack([np.eye(3, dtype=np.float32), rot180]))
+    err_r = float(metrics.mssd_metric(pts, pool_r, R_est, t_est, R, t))
+    assert err_r > 5.0
+    err_p = float(metrics.mspd_metric(pts, pool_rt, CAM_K, R_est, t_est,
+                                      R, t))
+    assert err_p < 0.1
+
+
+def test_symmetry_transforms_continuous_offset(tmp_path):
+    """Continuous symmetries densify with t = offset - R @ offset."""
+    import json
+    import os
+    root = str(tmp_path)
+    entries = build_cube_dataset(root, n_scenes=1, ims_per_scene=1)
+    minfo_path = os.path.join(root, "cubes", "models", "models_info.json")
+    with open(minfo_path) as f:
+        minfo = json.load(f)
+    minfo["1"]["symmetries_continuous"] = [
+        {"axis": [0, 0, 1], "offset": [5.0, 0.0, 0.0]}]
+    with open(minfo_path, "w") as f:
+        json.dump(minfo, f)
+    ds = BopDataset(root, "cubes", train=False)
+    sym_R, sym_t = ds.symmetry_transforms(1, n_continuous=8)
+    assert sym_R.shape[0] == 1 + 7  # identity + 7 non-trivial steps
+    off = np.array([5.0, 0.0, 0.0])
+    for R, t in zip(sym_R[1:], sym_t[1:]):
+        np.testing.assert_allclose(t, off - R @ off, atol=1e-5)
+        # a point on the axis through the offset is a fixed point
+        np.testing.assert_allclose(R @ off + t, off, atol=1e-5)
+
+
 def test_mspd_projection_units(cube):
     pts, _, _ = cube
     R, t = pose_with_euler()
