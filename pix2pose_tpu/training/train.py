@@ -54,8 +54,15 @@ def train_object(dataset: BopDataset, obj_id: int, back_dir: str,
                  cfg: TrainConfig = TrainConfig(),
                  weight_root: str | None = None,
                  data_dir: str | None = None,
-                 log_every: int = 10, max_steps: int | None = None):
-    """Train one object's generator; returns the final train state."""
+                 log_every: int = 10, max_steps: int | None = None,
+                 imagenet_h5: str | None = None):
+    """Train one object's generator; returns the final train state.
+
+    ``imagenet_h5``: path to the keras-applications notop ResNet-50
+    ImageNet file; with the resnet50 backbone a FRESH run initializes the
+    encoder trunk from it (the reference's pretrained init,
+    ``resnet50_mod.py:246-258``). Ignored when resuming from a checkpoint.
+    """
     weight_root = weight_root or os.path.join(dataset.dir,
                                               "pix2pose_weights")
     weight_dir = os.path.join(weight_root, f"{obj_id:02d}")
@@ -77,6 +84,17 @@ def train_object(dataset: BopDataset, obj_id: int, back_dir: str,
     disc = Discriminator()
     state = create_train_state(jax.random.PRNGKey(obj_id), gen, disc, cfg)
     state, epoch = _maybe_resume(weight_dir, state)
+    if imagenet_h5 and epoch == 0:
+        if cfg.backbone != "resnet50":
+            raise ValueError("--imagenet-h5 requires backbone=resnet50")
+        from pix2pose_tpu.utils.hdf5_import import \
+            init_generator_trunk_from_imagenet
+        gv = init_generator_trunk_from_imagenet(
+            {"params": state.gen_params, "batch_stats": state.gen_stats},
+            imagenet_h5)
+        state = state._replace(gen_params=gv["params"],
+                               gen_stats=gv["batch_stats"])
+        print(f"initialized resnet50 trunk from {imagenet_h5}")
     raw_step = make_train_step(gen, disc, cfg)
 
     # batch synthesis fused into the step: one program per iteration
@@ -155,6 +173,10 @@ def main(argv: Sequence[str] | None = None):
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch", type=int, default=None)
     p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--imagenet-h5", default=None,
+                   help="keras-applications notop resnet50 h5: pretrained "
+                        "trunk init for fresh resnet50-backbone runs "
+                        "(reference resnet50_mod.py:246-258)")
     args = p.parse_args(argv)
 
     ecfg = load_eval_config(args.cfg)
@@ -166,7 +188,7 @@ def main(argv: Sequence[str] | None = None):
     elif args.batch:
         tcfg = TrainConfig(backbone=ecfg.backbone, batch_size=args.batch)
     train_object(ds, args.obj_id, args.back_dir, tcfg,
-                 max_steps=args.max_steps)
+                 max_steps=args.max_steps, imagenet_h5=args.imagenet_h5)
 
 
 if __name__ == "__main__":

@@ -243,6 +243,108 @@ def load_keras_generator_resnet50(h5_path: str, model=None,
     return variables
 
 
+def _normalize_weight_names(w: dict) -> dict:
+    """Map keras-applications dataset-name variants onto the canonical
+    kernel/bias/gamma/beta/moving_mean/moving_variance names (older files
+    use layer-prefixed names like ``conv1_W:0`` / ``bn2a_branch2a_gamma``)."""
+    out = {}
+    for k, v in w.items():
+        kk = k
+        if kk not in ("kernel", "bias", "gamma", "beta", "moving_mean",
+                      "moving_variance"):
+            if kk.endswith("_W") or kk == "W":
+                kk = "kernel"
+            elif kk.endswith("_b") or kk == "b":
+                kk = "bias"
+            elif kk.endswith("gamma"):
+                kk = "gamma"
+            elif kk.endswith("beta"):
+                kk = "beta"
+            elif kk.endswith("running_mean") or kk.endswith("mean"):
+                kk = "moving_mean"
+            elif (kk.endswith("running_std") or kk.endswith("variance")
+                  or kk.endswith("var")):
+                kk = "moving_variance"
+        out[kk] = v
+    return out
+
+
+def load_imagenet_resnet50_trunk(h5_path: str) -> dict:
+    """Load the keras-applications ImageNet ``notop`` ResNet-50 file
+    (``resnet50_weights_tf_dim_ordering_tf_kernels_notop.h5``) into the
+    :class:`ResNet50Trunk` variable tree — the reference's pretrained
+    encoder initialization (``resnet50_mod.py:246-258``). Stages 4/5 in
+    the file are ignored (the BOP'20 encoder taps stop at stage 3).
+
+    Returns trunk-rooted ``{'params': ..., 'batch_stats': ...}``; merge
+    into a freshly-initialized generator with
+    :func:`init_generator_trunk_from_imagenet`.
+    """
+    import h5py
+
+    params: dict = {}
+    stats: dict = {}
+    with h5py.File(h5_path, "r") as f:
+        def conv(keras_name, path):
+            w = _read_layer(f, keras_name)
+            if w is None:
+                raise KeyError(f"{keras_name} not in {h5_path}")
+            w = _normalize_weight_names(w)
+            _set(params, path, "kernel", w["kernel"])
+            if "bias" in w:
+                _set(params, path, "bias", w["bias"])
+
+        def bn(keras_name, path):
+            w = _read_layer(f, keras_name)
+            if w is None:
+                raise KeyError(f"{keras_name} not in {h5_path}")
+            w = _normalize_weight_names(w)
+            _set(params, path, "scale", w["gamma"])
+            _set(params, path, "bias", w["beta"])
+            _set(stats, path, "mean", w["moving_mean"])
+            _set(stats, path, "var", w["moving_variance"])
+
+        conv("conv1", ("stem_conv",))
+        bn("bn_conv1", ("stem_bn",))
+        for mod, rid, has_proj in _RESNET_BLOCKS:
+            for br, sub in (("2a", "conv_a"), ("2b", "conv_b"),
+                            ("2c", "conv_c")):
+                conv(f"res{rid}_branch{br}", (mod, sub))
+                bn(f"bn{rid}_branch{br}",
+                   (mod, {"2a": "bn_a", "2b": "bn_b", "2c": "bn_c"}[br]))
+            if has_proj:
+                conv(f"res{rid}_branch1", (mod, "proj_conv"))
+                bn(f"bn{rid}_branch1", (mod, "proj_bn"))
+    return {"params": params, "batch_stats": stats}
+
+
+def init_generator_trunk_from_imagenet(variables: dict,
+                                       h5_path: str) -> dict:
+    """Replace the ``encoder/trunk`` subtree of freshly-initialized
+    resnet50-backbone generator variables with ImageNet weights. Every
+    trunk leaf must be covered (shape-checked); other leaves untouched."""
+    import jax
+
+    trunk = load_imagenet_resnet50_trunk(h5_path)
+    out = jax.tree_util.tree_map(lambda x: x, variables)  # deep-ish copy
+    for col in ("params", "batch_stats"):
+        ref = out[col]["encoder"]["trunk"]
+        got = trunk[col]
+        ref_leaves = dict(jax.tree_util.tree_flatten_with_path(ref)[0])
+        got_leaves = dict(jax.tree_util.tree_flatten_with_path(got)[0])
+        missing = set(map(str, ref_leaves)) - set(map(str, got_leaves))
+        if missing:
+            raise ValueError(
+                f"imagenet import missing trunk {col}: {sorted(missing)}")
+        for k, v in ref_leaves.items():
+            g = got_leaves[k]
+            if tuple(g.shape) != tuple(v.shape):
+                raise ValueError(f"imagenet trunk shape mismatch at {k}: "
+                                 f"{g.shape} != {v.shape}")
+        out[col]["encoder"]["trunk"] = got
+    return out
+
+
 def _check_shapes(model, variables):
     import jax
     import jax.numpy as jnp

@@ -197,3 +197,109 @@ def test_resnet50_generator_import_runs(tmp_path):
     xyz, prob = model.apply(variables, jnp.zeros((1, 128, 128, 3)))
     assert xyz.shape == (1, 128, 128, 3)
     assert np.isfinite(np.asarray(xyz)).all()
+
+
+def _write_fake_imagenet_notop(path, weight_suffix=""):
+    """keras-applications notop-style file: resnet stem + stages 2-5 with
+    named layers only. ``weight_suffix`` emulates older files that prefix
+    dataset names with the layer name (e.g. ``conv1_W``)."""
+    import h5py
+
+    rng = np.random.RandomState(9)
+
+    def w(shape):
+        return rng.normal(scale=0.05, size=shape).astype(np.float32)
+
+    with h5py.File(path, "w") as f:
+        def layer(name, weights):
+            g = f.create_group(name)
+            for wname, arr in weights.items():
+                g.create_dataset(f"{name}/{wname}:0", data=arr)
+
+        def conv(name, shape):
+            if weight_suffix:
+                layer(name, {f"{name}_W": w(shape),
+                             f"{name}_b": w((shape[-1],))})
+            else:
+                layer(name, {"kernel": w(shape), "bias": w((shape[-1],))})
+
+        def bn(name, c):
+            pre = f"{name}_" if weight_suffix else ""
+            layer(name, {f"{pre}gamma": np.abs(w((c,))) + 0.5,
+                         f"{pre}beta": w((c,)),
+                         f"{pre}moving_mean": w((c,)),
+                         f"{pre}moving_variance": np.abs(w((c,))) + 0.5})
+
+        conv("conv1", (7, 7, 3, 64))
+        bn("bn_conv1", 64)
+        # full imagenet file carries stages 2..5; trunk import uses 2-3
+        stages = [("2", 64, 256, 3, 64), ("3", 128, 512, 4, 256),
+                  ("4", 256, 1024, 6, 512), ("5", 512, 2048, 3, 1024)]
+        for sid, mid, out, nblocks, cin in stages:
+            for bi in range(nblocks):
+                rid = f"{sid}{'abcdef'[bi]}"
+                c_in = cin if bi == 0 else out
+                conv(f"res{rid}_branch2a", (1, 1, c_in, mid))
+                bn(f"bn{rid}_branch2a", mid)
+                conv(f"res{rid}_branch2b", (3, 3, mid, mid))
+                bn(f"bn{rid}_branch2b", mid)
+                conv(f"res{rid}_branch2c", (1, 1, mid, out))
+                bn(f"bn{rid}_branch2c", out)
+                if bi == 0:
+                    conv(f"res{rid}_branch1", (1, 1, c_in, out))
+                    bn(f"bn{rid}_branch1", out)
+
+
+@pytest.mark.parametrize("suffix", ["", "legacy"])
+def test_imagenet_trunk_init_covers_every_leaf(tmp_path, suffix):
+    """The reference initializes the resnet50 encoder from the ImageNet
+    notop file (``resnet50_mod.py:246-258``); the import must cover every
+    trunk leaf exactly and leave the rest of the generator untouched."""
+    import jax
+    from pix2pose_tpu.models import build_generator
+
+    h5 = tmp_path / "notop.h5"
+    _write_fake_imagenet_notop(h5, weight_suffix=suffix)
+    model = build_generator("resnet50")
+    fresh = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+    merged = hdf5_import.init_generator_trunk_from_imagenet(fresh, str(h5))
+
+    import h5py
+    with h5py.File(h5, "r") as f:
+        conv1 = np.asarray(f["conv1"][
+            "conv1/conv1_W:0" if suffix else "conv1/kernel:0"])
+        bn3d = np.asarray(f["bn3d_branch2c"][
+            "bn3d_branch2c/bn3d_branch2c_gamma:0" if suffix
+            else "bn3d_branch2c/gamma:0"])
+    trunk = merged["params"]["encoder"]["trunk"]
+    np.testing.assert_array_equal(trunk["stem_conv"]["kernel"], conv1)
+    np.testing.assert_array_equal(trunk["s3_b3"]["bn_c"]["scale"], bn3d)
+    # every fresh trunk leaf exists with identical shape (raises otherwise)
+    ref = dict(jax.tree_util.tree_flatten_with_path(
+        fresh["params"]["encoder"]["trunk"])[0])
+    got = dict(jax.tree_util.tree_flatten_with_path(trunk)[0])
+    assert set(map(str, ref)) == set(map(str, got))
+    # decoder untouched
+    np.testing.assert_array_equal(
+        merged["params"]["d1"]["deconv"]["kernel"],
+        fresh["params"]["d1"]["deconv"]["kernel"])
+    # and the merged variables actually run
+    xyz, prob = model.apply(merged, jnp.zeros((1, 128, 128, 3)))
+    assert np.isfinite(np.asarray(xyz)).all()
+
+
+def test_imagenet_trunk_init_rejects_bad_shapes(tmp_path):
+    import h5py
+    import jax
+    from pix2pose_tpu.models import build_generator
+
+    h5 = tmp_path / "notop.h5"
+    _write_fake_imagenet_notop(h5)
+    with h5py.File(h5, "r+") as f:
+        del f["conv1"]["conv1/kernel:0"]
+        f["conv1"].create_dataset(
+            "conv1/kernel:0", data=np.zeros((3, 3, 3, 64), np.float32))
+    model = build_generator("resnet50")
+    fresh = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+    with pytest.raises(ValueError, match="shape mismatch"):
+        hdf5_import.init_generator_trunk_from_imagenet(fresh, str(h5))
