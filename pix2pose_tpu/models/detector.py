@@ -34,14 +34,43 @@ class DetectorOut(NamedTuple):
     seg: jnp.ndarray   # (B, H/4, W/4, C) logits
 
 
+class TinyTrunk(nn.Module):
+    """Small conv trunk with the same (f1, f2, f3) tap contract as
+    :class:`ResNet50Trunk` (strides 2/4/8) — for fast experiments and
+    CPU-speed tests; the production detector uses the ResNet-50 trunk."""
+
+    dtype: Any = jnp.float32
+    width: int = 32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        def block(y, ch, stride, name):
+            y = nn.Conv(ch, (3, 3), strides=(stride, stride),
+                        padding="SAME", dtype=self.dtype,
+                        name=f"{name}_conv")(y)
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                             epsilon=1e-3, dtype=self.dtype,
+                             name=f"{name}_bn")(y)
+            return nn.relu(y)
+
+        f1 = block(x, self.width, 2, "b1")
+        f2 = block(f1, self.width * 2, 2, "b2")
+        f2 = block(f2, self.width * 2, 1, "b2b")
+        f3 = block(f2, self.width * 4, 2, "b3")
+        f3 = block(f3, self.width * 4, 1, "b3b")
+        return f1, f2, f3
+
+
 class CenterNetDetector(nn.Module):
     num_classes: int
     dtype: Any = jnp.float32
     head_dim: int = 128
+    trunk: str = "resnet50"  # or "tiny"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        f1, f2, f3 = ResNet50Trunk(dtype=self.dtype, name="trunk")(x, train)
+        trunk_cls = TinyTrunk if self.trunk == "tiny" else ResNet50Trunk
+        f1, f2, f3 = trunk_cls(dtype=self.dtype, name="trunk")(x, train)
         # FPN-lite: stride8 -> stride4 fusion
         p3 = nn.Conv(self.head_dim, (1, 1), dtype=self.dtype,
                      name="lat3")(f3)

@@ -57,8 +57,8 @@ class PatchStore:
         return self.rgb.shape[0]
 
     @classmethod
-    def load(cls, data_dir: str, back_dir: str, max_patches: int = 20000,
-             max_backs: int = 512):
+    def load(cls, data_dir: str, back_dir: str | None,
+             max_patches: int = 20000, max_backs: int = 512):
         """Read the reference's (h,w,6|7) uint8 npy crops
         (``2_2_render_pix2pose_training.py:76-96``) and background images."""
         from PIL import Image
@@ -86,7 +86,8 @@ class PatchStore:
             masks.append(m)
             extents.append(float(max(h, w)))
         backs = []
-        bfiles = sorted(os.listdir(back_dir))[:max_backs]
+        bfiles = (sorted(os.listdir(back_dir))[:max_backs]
+                  if back_dir and os.path.isdir(back_dir) else [])
         for fn in bfiles:
             try:
                 img = Image.open(os.path.join(back_dir, fn)).convert("RGB")

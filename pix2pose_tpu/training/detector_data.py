@@ -34,17 +34,22 @@ class DetectorStore:
 
     rgb: jnp.ndarray    # (P, 128, 128, 3) uint8
     mask: jnp.ndarray   # (P, 128, 128) bool
-    label: jnp.ndarray  # (P,) int32 class index (0-based)
+    label: jnp.ndarray  # (P,) int32 class index (0-based; -1 = distractor)
     extent: jnp.ndarray  # (P,) float
     backs: jnp.ndarray  # (M, 256, 256, 3) uint8
     num_classes: int
 
     @classmethod
-    def from_patch_stores(cls, stores: dict, backs):
+    def from_patch_stores(cls, stores: dict, backs, distractors=()):
         """stores: {obj_id: PatchStore-like with rgb/mask/extent}; class
-        index = rank of obj_id. Pure device-side concatenation — no
-        device->host round trip (which would also flip the axon relay into
-        its slow per-launch mode; see docs/SCALING.md)."""
+        index = rank of obj_id. ``distractors`` is an optional sequence of
+        extra PatchStore-likes whose patches are composited into scenes but
+        labelled -1 — they occlude and clutter like the COCO-crop
+        distractors the reference pastes (``1_1_scene_gen_for_detection_
+        maskrcnn.py:163-241``) but never produce detection targets. Pure
+        device-side concatenation — no device->host round trip (which would
+        also flip the axon relay into its slow per-launch mode; see
+        docs/SCALING.md)."""
         rgbs, masks, labels, extents = [], [], [], []
         for ci, obj_id in enumerate(sorted(stores)):
             st = stores[obj_id]
@@ -52,6 +57,11 @@ class DetectorStore:
             masks.append(jnp.asarray(st.mask))
             extents.append(jnp.asarray(st.extent))
             labels.append(jnp.full((st.rgb.shape[0],), ci, jnp.int32))
+        for st in distractors:
+            rgbs.append(jnp.asarray(st.rgb))
+            masks.append(jnp.asarray(st.mask))
+            extents.append(jnp.asarray(st.extent))
+            labels.append(jnp.full((st.rgb.shape[0],), -1, jnp.int32))
         return cls(rgb=jnp.concatenate(rgbs),
                    mask=jnp.concatenate(masks),
                    label=jnp.concatenate(labels),
@@ -114,7 +124,10 @@ def make_detector_batch(store: DetectorStore, key, batch_size: int = 8,
     """One detector training batch.
 
     Returns dict: ``image`` (B,S,S,3) in [0,1], targets ``heat``/``wh``/
-    ``off``/``reg_mask``/``seg`` at stride resolution."""
+    ``off``/``reg_mask``/``seg`` at stride resolution, plus ground-truth
+    boxes for detection-quality eval: ``gt_bbox`` (B,K,4) visible-region
+    [v1,u1,v2,u2] in image pixels, ``gt_cls`` (B,K), ``gt_valid`` (B,K)
+    bool (False for sub-visibility instances and distractor patches)."""
     hs = im_size // stride
     c = store.num_classes
 
@@ -175,7 +188,9 @@ def make_detector_batch(store: DetectorStore, key, batch_size: int = 8,
         umax = jnp.max(jnp.where(vis_s > 0,
                                  gv[None, None, :], -big), axis=(1, 2))
         has_px = vsum > 1.0
-        valid_gt = valid_gt & has_px
+        is_gt = labels >= 0  # distractor patches never become targets
+        cls_safe = jnp.maximum(labels, 0)
+        valid_gt = valid_gt & has_px & is_gt
         cv = (vmin + vmax) / 2.0
         cu = (umin + umax) / 2.0
         hh = jnp.maximum(vmax - vmin, 1.0)
@@ -188,7 +203,7 @@ def make_detector_batch(store: DetectorStore, key, batch_size: int = 8,
         seg = jnp.zeros((hs, hs, c))
         for kk in range(k_obj):
             r = _gauss_radius(hh[kk], ww[kk])
-            heat = _splat_gaussian(heat, labels[kk], cv[kk], cu[kk], r,
+            heat = _splat_gaussian(heat, cls_safe[kk], cv[kk], cu[kk], r,
                                    valid_gt[kk], hs)
             ci = jnp.round(cv[kk]).astype(jnp.int32)
             cj = jnp.round(cu[kk]).astype(jnp.int32)
@@ -196,7 +211,7 @@ def make_detector_batch(store: DetectorStore, key, batch_size: int = 8,
             cj = jnp.clip(cj, 0, hs - 1)
             upd = valid_gt[kk].astype(jnp.float32)
             # force an exact-1 positive at the center cell
-            heat = heat.at[ci, cj, labels[kk]].max(upd)
+            heat = heat.at[ci, cj, cls_safe[kk]].max(upd)
             wh = wh.at[ci, cj].set(
                 jnp.where(upd > 0, jnp.stack([hh[kk], ww[kk]]),
                           wh[ci, cj]))
@@ -207,11 +222,18 @@ def make_detector_batch(store: DetectorStore, key, batch_size: int = 8,
             reg = reg.at[ci, cj].max(upd)
             seg = jnp.maximum(
                 seg, vis_s[kk][..., None]
-                * jax.nn.one_hot(labels[kk], c)[None, None, :]
+                * jax.nn.one_hot(cls_safe[kk], c)[None, None, :]
                 * upd)
-        return img, heat, wh, off, reg, seg
+        # visible-region GT boxes in image pixels (stride-grid cell [a,b]
+        # spans image pixels [a*stride, (b+1)*stride))
+        gt_bbox = jnp.stack([vmin, umin, vmax + 1.0, umax + 1.0],
+                            axis=-1) * stride
+        gt_bbox = jnp.where(valid_gt[:, None], gt_bbox, 0.0)
+        return (img, heat, wh, off, reg, seg, gt_bbox, labels, valid_gt)
 
     keys = jax.random.split(key, batch_size)
-    img, heat, wh, off, reg, seg = jax.vmap(one_scene)(keys)
+    (img, heat, wh, off, reg, seg, gt_bbox, gt_cls,
+     gt_valid) = jax.vmap(one_scene)(keys)
     return {"image": img, "heat": heat, "wh": wh, "off": off,
-            "reg_mask": reg, "seg": seg}
+            "reg_mask": reg, "seg": seg, "gt_bbox": gt_bbox,
+            "gt_cls": gt_cls, "gt_valid": gt_valid}

@@ -93,6 +93,97 @@ def band_oracle_params(lo: float, hi: float):
     return {"params": {"band": jnp.array([lo, hi], jnp.float32)}}
 
 
+def make_shape_patch_store(rng, n_per=10, n_distractors=12):
+    """5-class detector patch pool from rendered 3D shapes + distractors.
+
+    Classes are distinct meshes (cube, tall prism, octahedron,
+    tetrahedron, flat plate) with distinct color tints, rendered at random
+    poses into 128x128 patches; distractors are grey blobs and random
+    rectangles labelled -1 (composited clutter, never targets) — the
+    miniature analogue of the reference's >=5-object COCO-cluttered
+    detection scenes (``1_1_scene_gen_for_detection_maskrcnn.py``)."""
+    import jax.numpy as jnp
+
+    from pix2pose_tpu.ops import rasterizer
+    from pix2pose_tpu.training.detector_data import DetectorStore
+    from bop_fixture import box_mesh, octahedron_mesh
+
+    def tetra_mesh(half):
+        v = np.array([[1, 1, 1], [1, -1, -1], [-1, 1, -1], [-1, -1, 1]],
+                     np.float32) * half
+        f = np.array([[0, 1, 2], [0, 3, 1], [0, 2, 3], [1, 3, 2]],
+                     np.int32)
+        return v, f
+
+    shapes = [box_mesh(30, 30, 30), box_mesh(14, 14, 46),
+              octahedron_mesh(34), tetra_mesh(30), box_mesh(36, 36, 7)]
+    tints = np.array([[255, 80, 80], [80, 255, 80], [90, 90, 255],
+                      [250, 240, 70], [240, 90, 240]], np.float32)
+    K = np.array([[160.0, 0, 64.0], [0, 160.0, 64.0], [0, 0, 1]],
+                 np.float32)
+
+    class _St:
+        pass
+
+    stores = {}
+    for ci, (v, f) in enumerate(shapes):
+        rgbs, masks, extents = [], [], []
+        # per-vertex shading from geometry so patches aren't flat color
+        shade = 0.55 + 0.45 * (v[:, 2] - v[:, 2].min()) / max(
+            np.ptp(v[:, 2]), 1e-6)
+        colors = (tints[ci][None] * shade[:, None]).astype(np.float32)
+        for _ in range(n_per):
+            R, t = pose_with_euler(
+                yaw=rng.uniform(-np.pi, np.pi),
+                pitch=rng.uniform(-1.2, 1.2),
+                roll=rng.uniform(-np.pi, np.pi),
+                tx=0.0, ty=0.0, tz=rng.uniform(280, 360))
+            out = rasterizer.render_mesh(v, f, colors, R, t, K, 128, 128)
+            m = np.asarray(out.mask)
+            rgb = np.zeros((128, 128, 3), np.uint8)
+            rgb[m] = np.clip(np.asarray(out.attr)[m], 0, 255).astype(
+                np.uint8)
+            ys, xs = np.nonzero(m)
+            ext = float(max(np.ptp(ys) if ys.size else 1,
+                            np.ptp(xs) if xs.size else 1, 8))
+            rgbs.append(rgb)
+            masks.append(m)
+            extents.append(ext)
+        st = _St()
+        st.rgb = jnp.asarray(np.stack(rgbs))
+        st.mask = jnp.asarray(np.stack(masks))
+        st.extent = jnp.asarray(np.array(extents, np.float32))
+        stores[ci + 1] = st
+
+    dr, dm, de = [], [], []
+    yy, xx = np.mgrid[0:128, 0:128]
+    for i in range(n_distractors):
+        rgb = np.zeros((128, 128, 3), np.uint8)
+        m = np.zeros((128, 128), bool)
+        if i % 2 == 0:  # grey blob
+            r = rng.randint(18, 40)
+            m = ((yy - 64) ** 2 + (xx - 64) ** 2) < r * r
+            g = rng.randint(120, 220)
+            rgb[m] = [g, g, g]
+            ext = 2.0 * r
+        else:  # random dull rectangle
+            h2, w2 = rng.randint(12, 40, 2)
+            m[64 - h2:64 + h2, 64 - w2:64 + w2] = True
+            rgb[m] = rng.randint(60, 160, 3)
+            ext = 2.0 * max(h2, w2)
+        dr.append(rgb)
+        dm.append(m)
+        de.append(float(ext))
+    distr = _St()
+    distr.rgb = jnp.asarray(np.stack(dr))
+    distr.mask = jnp.asarray(np.stack(dm))
+    distr.extent = jnp.asarray(np.array(de, np.float32))
+
+    backs = rng.randint(0, 90, (4, 256, 256, 3)).astype(np.uint8)
+    return DetectorStore.from_patch_stores(stores, jnp.asarray(backs),
+                                           distractors=[distr])
+
+
 def pose_with_euler(yaw=0.4, pitch=-0.3, roll=0.2, tx=10.0, ty=-20.0,
                     tz=600.0):
     cz, sz = np.cos(yaw), np.sin(yaw)

@@ -1,0 +1,112 @@
+"""Detection-quality metrics: IoU/AP math on hand-computed cases, oracle
+mAP through the scene composer's GT boxes, distractor semantics, and the
+score-threshold tuner (the measured replacement for the reference's
+hand-tuned detector configs, ``tools/mask_rcnn_util.py:39-65``)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pix2pose_tpu.eval.detection_metrics import (average_precision,
+                                                 box_iou_matrix,
+                                                 evaluate_detections,
+                                                 tune_score_threshold)
+from pix2pose_tpu.training.detector_data import (DetectorStore,
+                                                 make_detector_batch)
+
+from test_detector import _toy_store
+
+
+def test_box_iou_matrix_known_values():
+    a = np.array([[0, 0, 10, 10]])
+    b = np.array([[0, 0, 10, 10], [5, 5, 15, 15], [20, 20, 30, 30]])
+    iou = box_iou_matrix(a, b)[0]
+    np.testing.assert_allclose(iou[0], 1.0)
+    np.testing.assert_allclose(iou[1], 25.0 / 175.0)
+    np.testing.assert_allclose(iou[2], 0.0)
+
+
+def test_average_precision_hand_case():
+    # perfect ranking
+    assert average_precision(np.array([True, True]), 2) == 1.0
+    # ranked [TP, FP, TP] over 2 GT: p_env = [1, 2/3, 2/3], recall steps
+    # at 0.5 and 1.0 -> 101-pt AP = (51*1 + 50*(2/3)) / 101
+    ap = average_precision(np.array([True, False, True]), 2)
+    np.testing.assert_allclose(ap, (51 + 50 * 2 / 3) / 101, atol=1e-9)
+    # no detections at all
+    assert average_precision(np.zeros(0, bool), 3) == 0.0
+    # zero GT -> NaN (class excluded from means)
+    assert np.isnan(average_precision(np.array([False]), 0))
+
+
+def test_evaluate_detections_oracle_is_perfect():
+    """Composer GT boxes fed back as detections score mAP == 1."""
+    store = _toy_store(np.random.RandomState(0))
+    b = make_detector_batch(store, jax.random.PRNGKey(3), batch_size=4,
+                            im_size=256, k_obj=4)
+    gt_bbox = np.asarray(b["gt_bbox"])
+    gt_cls = np.asarray(b["gt_cls"])
+    gt_valid = np.asarray(b["gt_valid"])
+    assert gt_valid.any()
+    # valid GT boxes are well-formed and in bounds
+    vb = gt_bbox[gt_valid]
+    assert (vb[:, 2] > vb[:, 0]).all() and (vb[:, 3] > vb[:, 1]).all()
+    assert (vb >= 0).all() and (vb <= 256).all()
+    assert (gt_cls[gt_valid] >= 0).all()
+
+    preds, gts = [], []
+    for i in range(4):
+        v = gt_valid[i]
+        gts.append({"bbox": gt_bbox[i][v], "cls": gt_cls[i][v]})
+        preds.append({"bbox": gt_bbox[i][v], "cls": gt_cls[i][v],
+                      "score": np.ones(int(v.sum()))})
+    res = evaluate_detections(preds, gts)
+    assert res["mAP50"] == 1.0 and res["mAP75"] == 1.0
+    assert res["mAP"] == 1.0
+
+
+def test_evaluate_detections_penalizes_fp_and_misses():
+    gt = [{"bbox": np.array([[10, 10, 50, 50], [100, 100, 140, 140]]),
+           "cls": np.array([0, 0])}]
+    # one perfect hit, one far-off FP, second GT missed
+    pred = [{"bbox": np.array([[10, 10, 50, 50], [200, 200, 220, 220]]),
+             "score": np.array([0.9, 0.8]), "cls": np.array([0, 0])}]
+    res = evaluate_detections(pred, gt, coco_sweep=False)
+    # recall caps at 0.5; 101-pt AP = 51/101 * precision-env(1.0)
+    np.testing.assert_allclose(res["mAP50"], 51 / 101, atol=1e-9)
+
+
+def test_distractors_make_clutter_but_no_targets():
+    rng = np.random.RandomState(2)
+    # one "class" whose patches are empty (mask all False) + bright
+    # distractor blobs: every target must be suppressed while the image
+    # still shows the distractor clutter
+    empty = DetectorStore(
+        rgb=jnp.zeros((2, 128, 128, 3), jnp.uint8),
+        mask=jnp.zeros((2, 128, 128), bool),
+        label=jnp.zeros((2,), jnp.int32),
+        extent=jnp.full((2,), 40.0, jnp.float32),
+        backs=jnp.zeros((2, 256, 256, 3), jnp.uint8),
+        num_classes=1)
+    blob = _toy_store(rng, n_classes=1, n_per=6)
+    store = DetectorStore.from_patch_stores(
+        {1: empty}, empty.backs,
+        distractors=[blob])
+    assert int(np.asarray(store.label).min()) == -1
+    b = make_detector_batch(store, jax.random.PRNGKey(5), batch_size=2,
+                            im_size=256, k_obj=6)
+    assert not np.asarray(b["gt_valid"]).any()
+    assert np.asarray(b["reg_mask"]).sum() == 0
+    assert np.asarray(b["heat"]).max() == 0
+    assert np.asarray(b["seg"]).max() == 0
+    # ... but the distractors did composite into the image
+    assert np.asarray(b["image"]).max() > 0.3
+
+
+def test_tune_score_threshold_splits_tp_from_fp():
+    gt = [{"bbox": np.array([[10, 10, 50, 50]]), "cls": np.array([0])}]
+    pred = [{"bbox": np.array([[10, 10, 50, 50], [200, 200, 240, 240]]),
+             "score": np.array([0.9, 0.2]), "cls": np.array([0, 0])}]
+    tuned = tune_score_threshold(pred, gt)
+    assert tuned["best_f1"] == 1.0
+    assert 0.2 < tuned["best_th"] <= 0.9

@@ -104,6 +104,101 @@ def _write_fake_keras_generator(path):
                   {"kernel": w((5, 5, cout, cin)), "bias": w((cout,))})
 
 
+def _torch_paper_generator(h5_path, x_nhwc):
+    """Independent full-model oracle: the reference paper generator
+    (``ae_model.py:70-150``) re-implemented with torch ops that replicate
+    TF/Keras semantics exactly (SAME padding, Conv2DTranspose as
+    gradient-of-conv, BN eps 1e-3 on moving stats, LeakyReLU 0.3), reading
+    weights straight from the Keras-layout HDF5. Golden activations for
+    the flax import path — no TF needed."""
+    import h5py
+    import torch.nn.functional as F
+
+    f = h5py.File(h5_path, "r")
+
+    def rd(name):
+        return hdf5_import._read_layer(f, name)
+
+    def conv(x, name, stride):
+        w = rd(name)
+        wt = torch.tensor(w["kernel"].transpose(3, 2, 0, 1))
+        b = torch.tensor(w["bias"])
+        if stride == 2:
+            # TF SAME for k5/s2 on stride-divisible input: pad (1, 2)
+            x = F.pad(x, (1, 2, 1, 2))
+            return F.conv2d(x, wt, b, stride=2)
+        return F.conv2d(x, wt, b, stride=1, padding=2)
+
+    def bn(x, idx):
+        w = rd(f"batch_normalization_{idx}")
+        return F.batch_norm(
+            x, torch.tensor(w["moving_mean"]),
+            torch.tensor(w["moving_variance"]), torch.tensor(w["gamma"]),
+            torch.tensor(w["beta"]), training=False, eps=1e-3)
+
+    def deconv(x, idx):
+        w = rd(f"conv2d_transpose_{idx}")
+        wt = torch.tensor(w["kernel"].transpose(3, 2, 0, 1))
+        return F.conv_transpose2d(x, wt, torch.tensor(w["bias"]),
+                                  stride=2, padding=2, output_padding=1)
+
+    def lrelu(x):
+        return F.leaky_relu(x, 0.3)
+
+    with torch.no_grad():
+        x = torch.tensor(np.ascontiguousarray(
+            x_nhwc.transpose(0, 3, 1, 2)))
+        feats, skips, bn_i = x, [], 1
+        for s in range(4):
+            a = lrelu(bn(conv(feats, f"conv{s + 1}_1", 2), bn_i))
+            bb = lrelu(bn(conv(feats, f"conv{s + 1}_2", 2), bn_i + 1))
+            bn_i += 2
+            feats = torch.cat([a, bb], 1)
+            skips.append(bb)
+        # keras Flatten is row-major over (h, w, c)
+        z = feats.permute(0, 2, 3, 1).reshape(feats.shape[0], -1)
+        d = rd("dense_1")
+        z = z @ torch.tensor(d["kernel"]) + torch.tensor(d["bias"])
+        d = rd("dense_2")
+        z = z @ torch.tensor(d["kernel"]) + torch.tensor(d["bias"])
+        y = z.reshape(-1, 8, 8, 256).permute(0, 3, 1, 2)
+        for di, (skip, uni) in enumerate(
+                [(skips[2], "deconv1"), (skips[1], "deconv2"),
+                 (skips[0], "deconv3")]):
+            y = lrelu(bn(deconv(y, di + 1), 9 + 2 * di))
+            y = torch.cat([y, skip], 1)
+            y = lrelu(bn(conv(y, uni, 1), 10 + 2 * di))
+        xyz = torch.tanh(deconv(y, 4))
+        prob = torch.sigmoid(deconv(y, 5))
+    f.close()
+    return (xyz.permute(0, 2, 3, 1).numpy(),
+            prob.permute(0, 2, 3, 1).numpy())
+
+
+def test_full_generator_activation_parity_vs_torch(tmp_path):
+    """End-to-end golden-activation check (VERDICT weak #9): the imported
+    paper generator's forward pass matches the independent torch oracle to
+    float32 tolerance — numerics of the whole import path (conv padding,
+    transposed-conv kernel mapping, BN stats, flatten order, skip wiring)
+    demonstrated at once, not inferred layer-by-layer."""
+    from pix2pose_tpu.models import build_generator
+
+    h5 = tmp_path / "inference.hdf5"
+    _write_fake_keras_generator(h5)
+    rng = np.random.RandomState(11)
+    x = rng.uniform(-1, 1, (2, 128, 128, 3)).astype(np.float32)
+    ref_xyz, ref_prob = _torch_paper_generator(str(h5), x)
+
+    model = build_generator("paper")
+    variables = hdf5_import.load_keras_generator(str(h5), model)
+    xyz, prob = model.apply(variables, jnp.asarray(x))
+    # fp32 reduction-order noise through ~20 layers leaves a few 1e-4-level
+    # residuals; a wiring or kernel-mapping error would be O(1) everywhere
+    np.testing.assert_allclose(np.asarray(xyz), ref_xyz, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(prob), ref_prob, atol=5e-4)
+    assert float(np.abs(np.asarray(xyz) - ref_xyz).mean()) < 2e-5
+
+
 def test_full_generator_import_runs(tmp_path):
     from pix2pose_tpu.models import build_generator
 

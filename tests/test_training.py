@@ -94,3 +94,42 @@ def test_object_parallel_step(setup):
         jax.tree_util.tree_map(lambda x: x[1],
                                new_state.gen_params))[0]
     assert not np.allclose(np.asarray(p0), np.asarray(p1))
+
+
+def test_trained_detector_reaches_map_floor():
+    """Slow: train the CenterNet (tiny trunk for CPU speed; same heads,
+    losses, composer, and decode as the production ResNet-50 config) on
+    5-class + distractor composed scenes, then assert a held-out COCO-mAP
+    floor (VERDICT #7; reference counterpart: externally-trained detector
+    configs, ``tools/mask_rcnn_util.py:39-65``). Calibration: mAP50 ~0.32
+    @400 steps, ~0.36 @600 on this seed/config."""
+    from synthetic import make_shape_patch_store
+    from pix2pose_tpu.models.detector import CenterNetDetector
+    from pix2pose_tpu.training.detector_train import (
+        create_detector_state, make_detector_step)
+    from pix2pose_tpu.training.detector_data import make_detector_batch
+    from pix2pose_tpu.eval.detection_metrics import (
+        collect_synthetic_detections, evaluate_detections)
+
+    store = make_shape_patch_store(np.random.RandomState(0), n_per=8,
+                                   n_distractors=8)
+    model = CenterNetDetector(num_classes=5, head_dim=64, trunk="tiny")
+    state = create_detector_state(jax.random.PRNGKey(0), model, 192)
+    raw = make_detector_step(model)
+
+    @jax.jit
+    def step_fn(state, store, key, lr):
+        return raw(state, make_detector_batch(store, key, 4, 192, 4), lr)
+
+    key = jax.random.PRNGKey(1)
+    for i in range(500):
+        key, kb = jax.random.split(key)
+        state, parts = step_fn(state, store, kb,
+                               2e-3 * min(1.0, (i + 1) / 50))
+    assert np.isfinite(float(parts["total"]))
+    variables = {"params": state.params, "batch_stats": state.stats}
+    preds, gts = collect_synthetic_detections(
+        model, variables, store, 16, jax.random.PRNGKey(777),
+        im_size=192, k_obj=4, batch_size=4)
+    res = evaluate_detections(preds, gts)
+    assert res["mAP50"] >= 0.15, res
