@@ -1,0 +1,97 @@
+"""Serving benchmark: socket transport + cross-client batching on TPU.
+
+Measures end-to-end (client -> TCP -> coalesce -> one images-x-objects
+XLA launch -> response) latency/throughput at several concurrency
+levels, with a real paper-backbone generator and VGA frames.
+
+    python examples/serve_bench.py [--objects 2] [--dets 4]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+
+import numpy as np
+
+
+class StaticDetector:
+    def __init__(self, dets):
+        self.dets = dets
+
+    def detect(self, rgb):
+        return self.dets
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--objects", type=int, default=2)
+    ap.add_argument("--dets", type=int, default=4)
+    ap.add_argument("--frames", type=int, default=16)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from pix2pose_tpu.inference.detector import Detection
+    from pix2pose_tpu.models import build_generator
+    from pix2pose_tpu.serving import PoseServer, PoseService, ServingConfig
+    from pix2pose_tpu.serving.server import benchmark_concurrent
+
+    cam_k = np.array([[572.4, 0, 325.3], [0, 573.6, 242.0], [0, 0, 1]],
+                     np.float32)
+    model = build_generator("paper", dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    params_by_obj, obj_params, corners = {}, {}, {}
+    for o in range(1, args.objects + 1):
+        params_by_obj[o] = model.init(
+            jax.random.PRNGKey(o), jnp.zeros((1, 128, 128, 3)))
+        obj_params[o] = np.array([40, 40, 40, 0, 0, 0], np.float32)
+        corners[o] = rng.uniform(-40, 40, (8, 3)).astype(np.float32)
+
+    dets = []
+    for o in range(1, args.objects + 1):
+        for d in range(args.dets):
+            v0 = 40 + 37 * d + 11 * o
+            u0 = 60 + 53 * d + 17 * o
+            dets.append(Detection(
+                bbox=np.array([v0, u0, v0 + 96, u0 + 96], np.int32),
+                obj_id=o, score=0.9, mask=None))
+
+    cfg = ServingConfig(cam_K=cam_k, outlier_th=(0.1, 0.2, 0.3),
+                        inlier_th=0.1)
+    svc = PoseService(cfg, StaticDetector(dets), model, params_by_obj,
+                      obj_params, corners, max_det=args.dets)
+    rgb = rng.randint(0, 255, (480, 640, 3)).astype(np.uint8)
+
+    # warm the padded-batch programs (1..8) before timing
+    for b in (1, 2, 4, 8):
+        svc.process_many([rgb] * b)
+
+    server = PoseServer(svc, max_batch=8)
+    try:
+        report = {"objects": args.objects, "dets_per_obj": args.dets}
+        for n_clients in (1, 4, 8):
+            server.frontend.batch_sizes.clear()
+            stats = benchmark_concurrent(server, rgb,
+                                         n_clients=n_clients,
+                                         n_frames=args.frames)
+            sizes = stats.pop("batch_sizes")
+            stats["mean_batch"] = float(np.mean(sizes)) if sizes else 0
+            report[f"clients_{n_clients}"] = stats
+            print(f"{n_clients} client(s): {stats['fps']:.1f} frames/s, "
+                  f"p50 {stats['latency_p50_ms']:.1f} ms, "
+                  f"p95 {stats['latency_p95_ms']:.1f} ms, "
+                  f"mean dispatch batch {stats['mean_batch']:.1f}",
+                  flush=True)
+        print(json.dumps(report))
+    finally:
+        server.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -156,6 +156,14 @@ class Pix2PoseEstimator:
             lambda p, rgb, bb, dv, K, op, k, th: self._estimate(
                 p, rgb, bb, dv, K, op, k, outlier_th=th),
             in_axes=(0, None, 0, 0, None, 0, 0, 0)))
+        # images x objects: the serving coalescer's shape — every frame of
+        # a request batch and every object of the model set in ONE launch
+        self._run_objects_images = jax.jit(jax.vmap(
+            jax.vmap(
+                lambda p, rgb, bb, dv, K, op, k, th: self._estimate(
+                    p, rgb, bb, dv, K, op, k, outlier_th=th),
+                in_axes=(0, None, 0, 0, None, 0, 0, 0)),
+            in_axes=(None, 0, 0, 0, 0, None, 0, None)))
 
     # ------------------------------------------------------------------
     def __call__(self, params, rgb, bboxes, det_valid, cam_k, obj_param,
@@ -200,6 +208,26 @@ class Pix2PoseEstimator:
         return self._run_objects(stacked_params, rgb, bboxes, det_valid,
                                  cam_k, obj_params, keys,
                                  jnp.asarray(outlier_th, jnp.float32))
+
+    def estimate_objects_images(self, stacked_params, rgbs, bboxes,
+                                det_valid, cam_ks, obj_params, keys,
+                                outlier_th=None) -> PoseEstimate:
+        """Batched over IMAGES x OBJECTS: rgbs (B,H,W,3), bboxes
+        (B,O,N,4), det_valid (B,O,N), cam_ks (B,3,3), keys (B,O,2);
+        stacked_params / obj_params (O,6) shared across images. One
+        compiled program serves a whole coalesced request batch — the
+        serving frontend's device program (the reference node processes
+        one frame, one object, one crop at a time:
+        ``ros_kinetic/ros_pix2pose.py:286-349``). Returned fields carry
+        (B, O, N, ...) axes."""
+        if outlier_th is None:
+            o = bboxes.shape[1]
+            outlier_th = jnp.tile(
+                jnp.asarray(self.cfg.outlier_th, jnp.float32)[None],
+                (o, 1))
+        return self._run_objects_images(
+            stacked_params, rgbs, bboxes, det_valid, cam_ks, obj_params,
+            keys, jnp.asarray(outlier_th, jnp.float32))
 
     # ------------------------------------------------------------------
     def _estimate(self, params, rgb, bboxes, det_valid, cam_k, obj_param,

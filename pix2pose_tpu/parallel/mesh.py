@@ -14,6 +14,14 @@ single-GPU jobs (``train.sh:1-21``) and every tensor lives on one device
 
 Both axes compose: an (obj, dp) 2D mesh trains O objects, each batch-sharded
 over its dp group.
+
+Multi-host (SURVEY.md §2.4): on a TPU pod slice each host runs one process
+that sees only its local chips; :func:`init_distributed` brings up the JAX
+global runtime, ``make_mesh`` then builds the mesh over the *global* device
+set, and :func:`host_local_to_global` assembles per-process input shards
+into one global array — each host loads only ``process_slice`` of the
+batch from disk, and collectives ride ICI within a slice / DCN across
+slices exactly as the sharding annotations dictate.
 """
 
 from __future__ import annotations
@@ -23,6 +31,50 @@ from typing import Sequence
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> tuple[int, int]:
+    """Initialize the multi-process JAX runtime (no-op when single-host).
+
+    On TPU pods the arguments come from the environment and may all be
+    None; explicit values support CPU multi-process tests. Must run
+    before anything initializes the XLA backend. Idempotent. Returns
+    ``(process_index, process_count)``."""
+    if not jax.distributed.is_initialized() and (coordinator_address
+                                                 or num_processes):
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
+    return jax.process_index(), jax.process_count()
+
+
+def process_slice(n_total: int) -> slice:
+    """This process's contiguous share of a length-``n_total`` batch axis
+    (host-sharded input loading: each host reads only its slice)."""
+    per = n_total // jax.process_count()
+    if per * jax.process_count() != n_total:
+        raise ValueError(f"batch {n_total} not divisible by "
+                         f"{jax.process_count()} processes")
+    start = per * jax.process_index()
+    return slice(start, start + per)
+
+
+def host_local_to_global(mesh: Mesh, batch, spec: P = None):
+    """Assemble per-process local shards into global jax.Arrays.
+
+    Each process passes ONLY its ``process_slice`` of the logical batch
+    (leading axis). Single-process: equivalent to :func:`shard_batch`.
+    """
+    spec = spec if spec is not None else P("dp")
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sharding, x),
+        batch)
 
 
 def make_mesh(axis_sizes: Sequence[int] = None,

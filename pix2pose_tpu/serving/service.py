@@ -117,6 +117,10 @@ class PoseService:
         self.max_det = max_det
         self._key = jax.random.PRNGKey(0)
         self.frame_count = 0
+        # lazy caches for the coalesced-batch path (process_many)
+        self._stacked = None
+        self._stacked_op = None
+        self._obj_ids: list = []
 
     # ------------------------------------------------------------------
     def process(self, rgb: np.ndarray, depth: np.ndarray | None = None
@@ -190,6 +194,101 @@ class PoseService:
             return self.detector.detect(0, self.frame_count, rgb)
         except TypeError:
             return self.detector.detect(rgb)
+
+    # ------------------------------------------------------------------
+    def process_many(self, rgbs: Sequence[np.ndarray],
+                     want_images: bool = False) -> list:
+        """Coalesced-batch path: ALL frames x ALL objects in one device
+        launch (``engine.estimate_objects_images``). The batch axis is
+        padded to a power of two so the number of compiled programs stays
+        bounded regardless of request-coalescing jitter. Used by the
+        serving frontend; overlays are skipped unless ``want_images``
+        (they are host-side work per frame).
+
+        Returns a list of :class:`FrameResult` (images None when not
+        requested). Depth/ICP is not batched here — RGB-only, the
+        reference node's default mode (``ros_pix2pose.py:286-349``)."""
+        from pix2pose_tpu.inference.engine import stack_object_params
+
+        t0 = time.time()
+        if self._stacked is None:
+            self._obj_ids = sorted(self.params_by_obj)
+            self._stacked = stack_object_params(
+                [self.params_by_obj[o] for o in self._obj_ids])
+            self._stacked_op = np.stack(
+                [np.asarray(self.obj_params[o], np.float32)
+                 for o in self._obj_ids])
+        obj_ids = self._obj_ids
+        n_obj = len(obj_ids)
+        b_real = len(rgbs)
+        b_pad = 1
+        while b_pad < b_real:
+            b_pad *= 2
+
+        dets_per_frame = [self._detect(rgb) for rgb in rgbs]
+        self.frame_count += b_real
+        bboxes = np.zeros((b_pad, n_obj, self.max_det, 4), np.int32)
+        valid = np.zeros((b_pad, n_obj, self.max_det), bool)
+        kept: dict[tuple, object] = {}
+        for bi, dets in enumerate(dets_per_frame):
+            slot = {o: 0 for o in obj_ids}
+            for d in dets:
+                if self.cfg.target_obj_name and \
+                        d.obj_id not in self.cfg.target_obj_name:
+                    continue
+                if d.obj_id not in self.params_by_obj:
+                    continue
+                oi = obj_ids.index(d.obj_id)
+                si = slot[d.obj_id]
+                if si >= self.max_det:
+                    continue
+                bboxes[bi, oi, si] = d.bbox
+                valid[bi, oi, si] = True
+                kept[(bi, oi, si)] = d
+                slot[d.obj_id] = si + 1
+
+        imgs = np.zeros((b_pad,) + rgbs[0].shape, rgbs[0].dtype)
+        for bi, rgb in enumerate(rgbs):
+            imgs[bi] = rgb
+        cam_ks = np.tile(np.asarray(self.cfg.cam_K, np.float32)[None],
+                         (b_pad, 1, 1))
+        self._key, sub = jax.random.split(self._key)
+        keys = jax.random.split(sub, b_pad * n_obj).reshape(
+            b_pad, n_obj, 2)
+        out = self.est.estimate_objects_images(
+            self._stacked, imgs, bboxes, valid, cam_ks,
+            self._stacked_op, keys)
+        out = jax.device_get(out)
+
+        results = []
+        per_frame = (time.time() - t0) / max(b_real, 1)
+        for bi in range(b_real):
+            det_img = rgbs[bi].copy() if want_images else None
+            pose_img = rgbs[bi].copy() if want_images else None
+            poses = []
+            for oi, obj_id in enumerate(obj_ids):
+                for si in range(self.max_det):
+                    d = kept.get((bi, oi, si))
+                    if d is None or not bool(out.valid[bi, oi, si]):
+                        continue
+                    R = np.asarray(out.R[bi, oi, si])
+                    t = np.asarray(out.t[bi, oi, si])
+                    score = d.score * max(
+                        float(out.frac_inlier[bi, oi, si]), 0.0)
+                    poses.append(PoseOutput(obj_id=obj_id, R=R, t=t,
+                                            score=score, bbox=d.bbox))
+                    if want_images:
+                        viz.draw_detection_box(det_img, d.bbox,
+                                               copy=False)
+                        if obj_id in self.box_corners:
+                            viz.draw_pose_box(
+                                pose_img, self.box_corners[obj_id],
+                                R, t, self.cfg.cam_K, copy=False)
+            results.append(FrameResult(poses=poses,
+                                       detection_image=det_img,
+                                       pose_image=pose_img,
+                                       latency_s=per_frame))
+        return results
 
 
 class RosAdapter:
