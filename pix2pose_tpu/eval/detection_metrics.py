@@ -198,37 +198,48 @@ def tune_score_threshold(preds, gts, iou_th: float = 0.5,
 def collect_synthetic_detections(model, variables, store, n_images: int,
                                  key, im_size: int = 512, k_obj: int = 8,
                                  batch_size: int = 4, top_k: int = 32,
-                                 score_floor: float = 0.01):
-    """Run the detector over freshly-synthesized held-out scenes.
+                                 score_floor: float = 0.01,
+                                 decode_fn=None):
+    """Run a detector over freshly-synthesized held-out scenes.
 
     One jitted program per batch: scene composition -> forward -> decode,
     all on device; only the final top-k boxes come to host. Pass a ``key``
-    disjoint from training to make the scenes held-out. Returns
-    (preds, gts) in :func:`evaluate_detections` format.
+    disjoint from training to make the scenes held-out. ``decode_fn``
+    maps the model output to ``(bbox (B,K,4), score (B,K), cls (B,K))``;
+    default is the CenterNet decode — for the RetinaNet head pass one
+    built on :func:`pix2pose_tpu.models.retinanet.decode_retinanet`.
+    Returns (preds, gts) in :func:`evaluate_detections` format.
     """
     import jax
-    import jax.numpy as jnp
 
-    from pix2pose_tpu.models.detector import decode_detections
     from pix2pose_tpu.training.detector_data import make_detector_batch
+
+    if decode_fn is None:
+        from pix2pose_tpu.models.detector import decode_detections
+
+        def decode_fn(out):
+            det = decode_detections(out, top_k=top_k)
+            return det.bbox, det.score, det.cls
 
     @jax.jit
     def run(store, k):
         batch = make_detector_batch(store, k, batch_size, im_size, k_obj)
         out = model.apply(variables, batch["image"])
-        det = decode_detections(out, top_k=top_k)
-        return det, batch["gt_bbox"], batch["gt_cls"], batch["gt_valid"]
+        bbox, score, cls = decode_fn(out)
+        return (bbox, score, cls, batch["gt_bbox"], batch["gt_cls"],
+                batch["gt_valid"])
 
     preds, gts = [], []
     n_batches = (n_images + batch_size - 1) // batch_size
     for _ in range(n_batches):
         key, kb = jax.random.split(key)
-        det, gt_bbox, gt_cls, gt_valid = jax.device_get(run(store, kb))
+        bbox, score, cls, gt_bbox, gt_cls, gt_valid = jax.device_get(
+            run(store, kb))
         for b in range(batch_size):
-            keep = det.score[b] >= score_floor
-            preds.append({"bbox": det.bbox[b][keep],
-                          "score": det.score[b][keep],
-                          "cls": det.cls[b][keep]})
+            keep = score[b] >= score_floor
+            preds.append({"bbox": bbox[b][keep],
+                          "score": score[b][keep],
+                          "cls": cls[b][keep]})
             v = gt_valid[b]
             gts.append({"bbox": gt_bbox[b][v], "cls": gt_cls[b][v]})
     return preds[:n_images], gts[:n_images]

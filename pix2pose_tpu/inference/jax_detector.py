@@ -1,4 +1,5 @@
-"""Detector-protocol adapter around the trained CenterNet model."""
+"""Detector-protocol adapters around the trained in-repo detectors
+(CenterNet and the RetinaNet-style anchor head)."""
 
 from __future__ import annotations
 
@@ -74,4 +75,62 @@ class JaxDetector:
             out.append(Detection(bbox=bbox,
                                  obj_id=self.class_to_obj_id[cls],
                                  score=sc, mask=m_res & box_m))
+        return out
+
+
+class RetinaNetAdapter:
+    """Detector protocol over :class:`RetinaNetDetector`.
+
+    Mirrors the reference's keras-retinanet inference path
+    (``5_evaluation_bop_basic.py:83-97``): boxes + scores only, no mask
+    head — box-shaped masks stand in for the score_type-2 mask-IoU term
+    exactly as the reference does there.
+    """
+
+    def __init__(self, model, variables, class_to_obj_id,
+                 score_th: float = 0.3, top_k: int = 64,
+                 input_size: int = 512, nms_iou: float = 0.5):
+        from pix2pose_tpu.models.retinanet import (anchor_boxes,
+                                                   decode_retinanet)
+
+        self.model = model
+        self.variables = variables
+        self.class_to_obj_id = list(class_to_obj_id)
+        self.score_th = score_th
+        self.input_size = input_size
+        anchors = jnp.asarray(anchor_boxes(input_size))
+
+        def _run(variables, img):
+            out = model.apply(variables, img[None])
+            return decode_retinanet(out, anchors, top_k=top_k,
+                                    nms_iou=nms_iou)
+
+        self._run = jax.jit(_run)
+
+    def detect(self, scene_id, im_id, rgb):
+        h, w = rgb.shape[:2]
+        s = self.input_size
+        img = jnp.asarray(rgb, jnp.float32) / 255.0
+        img = jax.image.resize(img, (s, s, 3), method="linear")
+        boxes, scores, cls = jax.device_get(
+            self._run(self.variables, img))
+        sv, su = h / s, w / s
+        out = []
+        for i in range(scores.shape[1]):
+            sc = float(scores[0, i])
+            if sc < self.score_th:
+                continue
+            b = boxes[0, i]
+            bbox = np.array([b[0] * sv, b[1] * su, b[2] * sv, b[3] * su])
+            bbox = np.round(
+                np.clip(bbox, [0, 0, 0, 0], [h - 1, w - 1, h - 1, w - 1])
+            ).astype(np.int32)
+            if bbox[2] - bbox[0] < 4 or bbox[3] - bbox[1] < 4:
+                continue
+            box_m = np.zeros((h, w), bool)
+            box_m[bbox[0]:bbox[2] + 1, bbox[1]:bbox[3] + 1] = True
+            out.append(Detection(bbox=bbox,
+                                 obj_id=self.class_to_obj_id[
+                                     int(cls[0, i])],
+                                 score=sc, mask=box_m))
         return out

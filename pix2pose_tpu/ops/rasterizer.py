@@ -163,7 +163,12 @@ def render_mesh(verts, faces, attrs, R, t, K, h: int, w: int,
     if prefer_pallas is None:
         import jax
 
-        prefer_pallas = (jax.default_backend() not in ("cpu",)
+        # respect an active `jax.default_device(cpu)` override — the
+        # backend may be TPU while this computation is placed on CPU
+        dd = jax.config.jax_default_device
+        platform = (dd.platform if dd is not None
+                    else jax.default_backend())
+        prefer_pallas = (platform not in ("cpu",)
                          and isinstance(v0, int) and v0 == 0
                          and isinstance(u0, int) and u0 == 0)
     if prefer_pallas and h % 16 == 0 and w % 128 == 0:

@@ -1,4 +1,5 @@
-"""Detector-quality harness: COCO-style mAP for the trained CenterNet.
+"""Detector-quality harness: COCO-style mAP for the trained in-repo
+detectors (CenterNet default; ``--head retinanet`` for the anchor head).
 
 The reference never measures its detectors — it ships externally-trained
 Mask-RCNN/RetinaNet checkpoints with hand-tuned thresholds
@@ -101,6 +102,8 @@ def main(argv: Sequence[str] | None = None):
     p.add_argument("dataset")
     p.add_argument("--split", choices=["synthetic", "test"],
                    default="synthetic")
+    p.add_argument("--head", choices=["centernet", "retinanet"],
+                   default="centernet")
     p.add_argument("--n-images", type=int, default=64)
     p.add_argument("--score-th", type=float, default=0.3,
                    help="JaxDetector threshold for --split test")
@@ -120,10 +123,15 @@ def main(argv: Sequence[str] | None = None):
     ds = BopDataset(cfg.dataset_dir, args.dataset,
                     train=(args.split == "synthetic"))
     det_vars = ckpt_util.load_inference_params(
-        os.path.join(ds.dir, "weight_detection", "centernet"))
+        os.path.join(ds.dir, "weight_detection", args.head))
     if det_vars is None:
-        raise SystemExit("no trained detector (weight_detection/centernet)")
-    model = CenterNetDetector(num_classes=len(ds.model_ids))
+        raise SystemExit(
+            f"no trained detector (weight_detection/{args.head})")
+    if args.head == "retinanet":
+        from pix2pose_tpu.models.retinanet import RetinaNetDetector
+        model = RetinaNetDetector(num_classes=len(ds.model_ids))
+    else:
+        model = CenterNetDetector(num_classes=len(ds.model_ids))
 
     if args.split == "synthetic":
         from pix2pose_tpu.eval.detection_metrics import \
@@ -140,15 +148,28 @@ def main(argv: Sequence[str] | None = None):
             raise SystemExit("no train_xyz patches for synthetic eval")
         backs = stores[next(iter(stores))].backs
         store = DetectorStore.from_patch_stores(stores, backs)
+        decode_fn = None
+        if args.head == "retinanet":
+            import jax.numpy as jnp
+            from pix2pose_tpu.models.retinanet import (anchor_boxes,
+                                                       decode_retinanet)
+            anchors = jnp.asarray(anchor_boxes(512))
+            decode_fn = lambda out: decode_retinanet(out, anchors)
         preds, gts = collect_synthetic_detections(
             model, det_vars, store, args.n_images,
-            jax.random.PRNGKey(777))  # disjoint from training streams
+            jax.random.PRNGKey(777),  # disjoint from training streams
+            decode_fn=decode_fn)
         res = evaluate_detections(preds, gts)
     else:
-        from pix2pose_tpu.inference.jax_detector import JaxDetector
-
-        detector = JaxDetector(model, det_vars, ds.model_ids,
-                               score_th=args.score_th)
+        if args.head == "retinanet":
+            from pix2pose_tpu.inference.jax_detector import \
+                RetinaNetAdapter
+            detector = RetinaNetAdapter(model, det_vars, ds.model_ids,
+                                        score_th=args.score_th)
+        else:
+            from pix2pose_tpu.inference.jax_detector import JaxDetector
+            detector = JaxDetector(model, det_vars, ds.model_ids,
+                                   score_th=args.score_th)
         targets = get_target_list(
             os.path.join(ds.dir, cfg.test_target + ".json"))
         res = evaluate_on_test_split(detector, ds, targets)

@@ -169,32 +169,33 @@ def make_detector_batch(store: DetectorStore, key, batch_size: int = 8,
         for kk in range(k_obj):  # small static loop
             img = jnp.where(visible[kk][..., None] > 0, rgbs[kk], img)
 
-        # ---- targets at stride resolution ----
-        vis_s = visible[:, ::stride, ::stride]  # (K,hs,hs)
+        # ---- targets: boxes at FULL image resolution (stride-grid boxes
+        # would quantize GT by +-stride px, capping high-IoU quality),
+        # heat/wh/off laid out on the stride grid ----
+        vis_s = visible[:, ::stride, ::stride]  # (K,hs,hs) for seg target
         area_full = jnp.maximum(jnp.sum(masks, axis=(1, 2)), 1.0)
         area_vis = jnp.sum(visible, axis=(1, 2))
         valid_gt = (area_vis / area_full) >= min_visib
 
-        gv = jnp.arange(hs, dtype=jnp.float32)
-        vsum = jnp.maximum(jnp.sum(vis_s, axis=(1, 2)), 1e-6)
-        # visible bbox via min/max over mask
+        gvf = jnp.arange(im_size, dtype=jnp.float32)
         big = 1e9
-        vmin = jnp.min(jnp.where(vis_s > 0,
-                                 gv[None, :, None], big), axis=(1, 2))
-        vmax = jnp.max(jnp.where(vis_s > 0,
-                                 gv[None, :, None], -big), axis=(1, 2))
-        umin = jnp.min(jnp.where(vis_s > 0,
-                                 gv[None, None, :], big), axis=(1, 2))
-        umax = jnp.max(jnp.where(vis_s > 0,
-                                 gv[None, None, :], -big), axis=(1, 2))
-        has_px = vsum > 1.0
+        vmin = jnp.min(jnp.where(visible > 0,
+                                 gvf[None, :, None], big), axis=(1, 2))
+        vmax = jnp.max(jnp.where(visible > 0,
+                                 gvf[None, :, None], -big), axis=(1, 2))
+        umin = jnp.min(jnp.where(visible > 0,
+                                 gvf[None, None, :], big), axis=(1, 2))
+        umax = jnp.max(jnp.where(visible > 0,
+                                 gvf[None, None, :], -big), axis=(1, 2))
+        has_px = area_vis > 4.0
         is_gt = labels >= 0  # distractor patches never become targets
         cls_safe = jnp.maximum(labels, 0)
         valid_gt = valid_gt & has_px & is_gt
-        cv = (vmin + vmax) / 2.0
-        cu = (umin + umax) / 2.0
-        hh = jnp.maximum(vmax - vmin, 1.0)
-        ww = jnp.maximum(umax - umin, 1.0)
+        # center/size in stride-grid units (the head's output frame)
+        cv = (vmin + vmax) / 2.0 / stride
+        cu = (umin + umax) / 2.0 / stride
+        hh = jnp.maximum(vmax - vmin + 1.0, 1.0) / stride
+        ww = jnp.maximum(umax - umin + 1.0, 1.0) / stride
 
         heat = jnp.zeros((hs, hs, c))
         wh = jnp.zeros((hs, hs, 2))
@@ -224,10 +225,9 @@ def make_detector_batch(store: DetectorStore, key, batch_size: int = 8,
                 seg, vis_s[kk][..., None]
                 * jax.nn.one_hot(cls_safe[kk], c)[None, None, :]
                 * upd)
-        # visible-region GT boxes in image pixels (stride-grid cell [a,b]
-        # spans image pixels [a*stride, (b+1)*stride))
+        # exact visible-region GT boxes in image pixels
         gt_bbox = jnp.stack([vmin, umin, vmax + 1.0, umax + 1.0],
-                            axis=-1) * stride
+                            axis=-1)
         gt_bbox = jnp.where(valid_gt[:, None], gt_bbox, 0.0)
         return (img, heat, wh, off, reg, seg, gt_bbox, labels, valid_gt)
 
