@@ -8,6 +8,7 @@ CLI: python -m pix2pose_tpu.training.detector_train <cfg.json> <dataset>
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 from typing import NamedTuple, Sequence
@@ -80,7 +81,7 @@ def train_detector(store: DetectorStore, steps: int = 2000,
     # scene synthesis fused into the step: ONE program dispatch per
     # iteration (also sidesteps the axon multi-program interleave stall —
     # see .claude/skills/verify/SKILL.md)
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step_fn(state, store, key, cur_lr):
         batch = make_detector_batch(store, key, batch_size, im_size)
         return raw_step(state, batch, cur_lr)

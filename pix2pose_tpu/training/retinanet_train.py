@@ -13,6 +13,7 @@ CLI: python -m pix2pose_tpu.training.retinanet_train <cfg.json> <dataset>
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 from typing import Sequence
@@ -82,7 +83,7 @@ def train_retinanet(store: DetectorStore, steps: int = 2000,
             print(f"resumed retinanet from checkpoint {ep}")
     raw_step = make_retinanet_step(model, anchors)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step_fn(state, store, key, cur_lr):
         batch = make_detector_batch(store, key, batch_size, im_size)
         return raw_step(state, batch, cur_lr)

@@ -16,6 +16,7 @@ export (``3_train:271-277``).
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 from typing import Sequence
@@ -98,7 +99,7 @@ def train_object(dataset: BopDataset, obj_id: int, back_dir: str,
     raw_step = make_train_step(gen, disc, cfg)
 
     # batch synthesis fused into the step: one program per iteration
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step_fn(state, store, step_idx, lr, key):
         kb, ks = jax.random.split(key)
         batch = make_batch(store, kb, step_idx, cfg.batch_size,
