@@ -192,3 +192,32 @@ def make_batch_icp_refiner(stacked_verts_m, stacked_faces, im_h: int,
 
     return jax.jit(jax.vmap(
         one, in_axes=(0, 0, 0, None, 0, None, None, None, 0)))
+
+
+def make_multiframe_icp_refiner(stacked_verts_m, stacked_faces, im_h: int,
+                                im_w: int, n_src: int = 1024,
+                                n_tgt: int = 4096, icp_iters: int = 30):
+    """Hypotheses spanning MULTIPLE sensor frames in one launch.
+
+    The serving coalescer's ICP shape: per-hypothesis object index AND
+    frame index; the sensor stacks (``depths_m``/``tgt_pts``/
+    ``tgt_normals``) carry a leading frame axis and each hypothesis
+    gathers its own frame. One camera shared (the serving case).
+
+    Returns ``refine(obj_idx (P,), frame_idx (P,), R (P,3,3), t_mm (P,3),
+    cam_k (3,3), union_masks (P,H,W), depths_m (B,H,W), tgt_pts
+    (B,H,W,3), tgt_normals (B,H,W,3), keys (P,2))`` with batch-axis
+    outputs.
+    """
+    sv = jnp.asarray(stacked_verts_m, jnp.float32)
+    sf = jnp.asarray(stacked_faces, jnp.int32)
+
+    def one(obj_idx, frame_idx, R, t_mm, cam_k, union_mask, depths_m,
+            tgt_pts, tgt_normals, key):
+        return _refine_body(sv[obj_idx], sf[obj_idx], im_h, im_w, n_src,
+                            n_tgt, icp_iters, R, t_mm, cam_k, union_mask,
+                            depths_m[frame_idx], tgt_pts[frame_idx],
+                            tgt_normals[frame_idx], key)
+
+    return jax.jit(jax.vmap(
+        one, in_axes=(0, 0, 0, 0, None, 0, None, None, None, 0)))

@@ -18,7 +18,8 @@ concurrent system shaped for the TPU's strengths:
 - :class:`PoseClient` — blocking client helper.
 
 Wire format, both directions: ``[u32 len][json][payload bytes...]``.
-Request header: ``{"h", "w", "dtype", "want_images"}`` + rgb bytes.
+Request header: ``{"h", "w", "dtype", "want_images", "has_depth"}`` +
+rgb bytes (+ float32 depth-in-meters bytes when ``has_depth``).
 Response header: ``{"poses": [{obj_id, R, t, score, bbox}], "latency_s",
 "server_batch"}`` (+ det/pose image bytes when ``want_images``).
 """
@@ -68,10 +69,12 @@ def _recv_msg(sock: socket.socket, n_payloads: int = 0):
 
 # ---------------------------------------------------------- batching core
 class _Pending:
-    __slots__ = ("rgb", "want_images", "event", "result", "batch_size")
+    __slots__ = ("rgb", "depth", "want_images", "event", "result",
+                 "batch_size")
 
-    def __init__(self, rgb, want_images):
+    def __init__(self, rgb, want_images, depth=None):
         self.rgb = rgb
+        self.depth = depth
         self.want_images = want_images
         self.event = threading.Event()
         self.result = None
@@ -94,10 +97,11 @@ class BatchingFrontend:
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
-    def submit(self, rgb: np.ndarray, want_images: bool = False):
+    def submit(self, rgb: np.ndarray, want_images: bool = False,
+               depth: np.ndarray | None = None):
         """Blocking: returns the completed ticket (``.result`` is the
         frame's FrameResult, ``.batch_size`` the dispatch batch size)."""
-        p = _Pending(rgb, want_images)
+        p = _Pending(rgb, want_images, depth)
         with self._cv:
             self._q.append(p)
             self._cv.notify()
@@ -126,8 +130,12 @@ class BatchingFrontend:
                 del self._q[:len(batch)]
             try:
                 want = any(p.want_images for p in batch)
+                depths = ([p.depth for p in batch]
+                          if any(p.depth is not None for p in batch)
+                          else None)
                 results = self.service.process_many(
-                    [p.rgb for p in batch], want_images=want)
+                    [p.rgb for p in batch], depths=depths,
+                    want_images=want)
                 self.batch_sizes.append(len(batch))
                 for p, r in zip(batch, results):
                     p.result = r
@@ -176,15 +184,28 @@ class PoseServer:
     def _serve_conn(self, conn: socket.socket):
         try:
             while True:
-                header, payloads = _recv_msg(conn, 1)
-                if header is None:
+                raw = _recv_exact(conn, 4)
+                if raw is None:
                     return
+                header = json.loads(
+                    _recv_exact(conn, struct.unpack("!I", raw)[0]))
+                n_payloads = 2 if header.get("has_depth") else 1
+                payloads = []
+                for _ in range(n_payloads):
+                    ln = struct.unpack("!I", _recv_exact(conn, 4))[0]
+                    payloads.append(_recv_exact(conn, ln))
                 rgb = np.frombuffer(
                     payloads[0], dtype=np.dtype(header["dtype"])
                 ).reshape(header["h"], header["w"], 3)
+                depth = None
+                if header.get("has_depth"):
+                    depth = np.frombuffer(
+                        payloads[1], np.float32).reshape(
+                        header["h"], header["w"])
                 want = bool(header.get("want_images", False))
                 try:
-                    p = self.frontend.submit(rgb, want_images=want)
+                    p = self.frontend.submit(rgb, want_images=want,
+                                             depth=depth)
                 except Exception as e:
                     _send_msg(conn, {"error": str(e)})
                     continue
@@ -220,13 +241,20 @@ class PoseClient:
         self._sock = socket.create_connection((host, port),
                                               timeout=timeout)
 
-    def estimate(self, rgb: np.ndarray, want_images: bool = False):
+    def estimate(self, rgb: np.ndarray, want_images: bool = False,
+                 depth: np.ndarray | None = None):
+        """``depth``: optional (H,W) float32 meters — triggers the
+        server's batched ICP refinement when the service has meshes."""
         rgb = np.ascontiguousarray(rgb)
-        _send_msg(self._sock,
-                  {"h": int(rgb.shape[0]), "w": int(rgb.shape[1]),
-                   "dtype": str(rgb.dtype),
-                   "want_images": bool(want_images)},
-                  [rgb.tobytes()])
+        payloads = [rgb.tobytes()]
+        header = {"h": int(rgb.shape[0]), "w": int(rgb.shape[1]),
+                  "dtype": str(rgb.dtype),
+                  "want_images": bool(want_images)}
+        if depth is not None:
+            header["has_depth"] = True
+            payloads.append(np.ascontiguousarray(
+                depth.astype(np.float32)).tobytes())
+        _send_msg(self._sock, header, payloads)
         header, payloads = _recv_msg(self._sock,
                                      2 if want_images else 0)
         if header is None:

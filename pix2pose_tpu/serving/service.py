@@ -95,13 +95,16 @@ class PoseService:
     def __init__(self, cfg: ServingConfig, detector, estimator_model,
                  params_by_obj: dict, obj_params: dict,
                  box_corners: dict, refiners: dict | None = None,
-                 max_det: int = 4):
+                 max_det: int = 4, meshes_m: dict | None = None):
         """Args:
           detector: ``detect(scene_id, im_id, rgb)``-style or
             ``detect(rgb)`` callable adapter.
           box_corners: {obj_id: (8,3) model bbox corners (mm)} for overlay.
           refiners: optional {obj_id: icp refine fn} (see eval.icp_refine)
-            used when cfg.icp and depth is provided.
+            used by :meth:`process` when cfg.icp and depth is provided.
+          meshes_m: optional {obj_id: (verts_m (V,3), faces (F,3))};
+            enables the BATCHED depth/ICP path in :meth:`process_many`
+            (all poses of all frames refined in one launch).
         """
         self.cfg = cfg
         self.detector = detector
@@ -121,6 +124,10 @@ class PoseService:
         self._stacked = None
         self._stacked_op = None
         self._obj_ids: list = []
+        self.meshes_m = meshes_m or {}
+        self._mf_refiner = None
+        self._mesh_index: dict = {}
+        self._sensor_prep = None
 
     # ------------------------------------------------------------------
     def process(self, rgb: np.ndarray, depth: np.ndarray | None = None
@@ -196,7 +203,7 @@ class PoseService:
             return self.detector.detect(rgb)
 
     # ------------------------------------------------------------------
-    def process_many(self, rgbs: Sequence[np.ndarray],
+    def process_many(self, rgbs: Sequence[np.ndarray], depths=None,
                      want_images: bool = False) -> list:
         """Coalesced-batch path: ALL frames x ALL objects in one device
         launch (``engine.estimate_objects_images``). The batch axis is
@@ -205,9 +212,14 @@ class PoseService:
         serving frontend; overlays are skipped unless ``want_images``
         (they are host-side work per frame).
 
+        With ``depths`` (per-frame depth in meters, None entries allowed)
+        and ``cfg.icp`` and ``meshes_m`` provided, every valid pose of
+        every frame is ICP-refined in ONE further launch
+        (``make_multiframe_icp_refiner``) — the reference node refines
+        one pose at a time (``ros_pix2pose.py:351-360``).
+
         Returns a list of :class:`FrameResult` (images None when not
-        requested). Depth/ICP is not batched here — RGB-only, the
-        reference node's default mode (``ros_pix2pose.py:286-349``)."""
+        requested)."""
         from pix2pose_tpu.inference.engine import stack_object_params
 
         t0 = time.time()
@@ -260,6 +272,12 @@ class PoseService:
             self._stacked_op, keys)
         out = jax.device_get(out)
 
+        refined = {}
+        if depths is not None and self.cfg.icp and self.meshes_m \
+                and any(d is not None for d in depths):
+            refined = self._batch_refine(depths, out, kept, obj_ids,
+                                         b_pad, rgbs[0].shape[:2])
+
         results = []
         per_frame = (time.time() - t0) / max(b_real, 1)
         for bi in range(b_real):
@@ -271,8 +289,11 @@ class PoseService:
                     d = kept.get((bi, oi, si))
                     if d is None or not bool(out.valid[bi, oi, si]):
                         continue
-                    R = np.asarray(out.R[bi, oi, si])
-                    t = np.asarray(out.t[bi, oi, si])
+                    if (bi, oi, si) in refined:
+                        R, t = refined[(bi, oi, si)]
+                    else:
+                        R = np.asarray(out.R[bi, oi, si])
+                        t = np.asarray(out.t[bi, oi, si])
                     score = d.score * max(
                         float(out.frac_inlier[bi, oi, si]), 0.0)
                     poses.append(PoseOutput(obj_id=obj_id, R=R, t=t,
@@ -289,6 +310,93 @@ class PoseService:
                                        pose_image=pose_img,
                                        latency_s=per_frame))
         return results
+
+    # ------------------------------------------------------------------
+    def _ensure_mf_refiner(self, im_hw):
+        import jax.numpy as jnp
+
+        if self._mf_refiner is None:
+            from pix2pose_tpu.eval.icp_refine import (
+                make_multiframe_icp_refiner, stack_meshes)
+
+            ids = sorted(self.meshes_m)
+            self._mesh_index = {o: i for i, o in enumerate(ids)}
+            sv, sf = stack_meshes([self.meshes_m[o] for o in ids])
+            self._mf_refiner = make_multiframe_icp_refiner(
+                sv, sf, im_hw[0], im_hw[1])
+        if self._sensor_prep is None:
+            from pix2pose_tpu.ops import geometry
+
+            cam_k = jnp.asarray(self.cfg.cam_K, jnp.float32)
+
+            @jax.jit
+            def prep(depths):
+                pts = jax.vmap(
+                    lambda d: geometry.backproject(d, cam_k))(depths)
+                nrm = jax.vmap(
+                    lambda d: geometry.normals_from_depth(d, cam_k)
+                )(depths)
+                return pts, nrm
+
+            self._sensor_prep = prep
+
+    def _batch_refine(self, depths, out, kept, obj_ids, b_pad, im_hw):
+        """One launch: every valid (frame, object, slot) hypothesis with
+        a mesh + depth, refined together. Returns {(bi, oi, si): (R, t)}
+        for hypotheses the refiner accepted."""
+        import jax.numpy as jnp
+
+        self._ensure_mf_refiner(im_hw)
+        h, w = im_hw
+        depth_stack = np.zeros((b_pad, h, w), np.float32)
+        has_depth = np.zeros(b_pad, bool)
+        for bi, dm in enumerate(depths):
+            if dm is not None:
+                depth_stack[bi] = np.asarray(dm, np.float32)
+                has_depth[bi] = True
+
+        hyps = []
+        for (bi, oi, si), d in sorted(kept.items()):
+            if not has_depth[bi]:
+                continue
+            if obj_ids[oi] not in self._mesh_index:
+                continue
+            if not bool(out.valid[bi, oi, si]):
+                continue
+            hyps.append((bi, oi, si, d))
+        if not hyps:
+            return {}
+        p_pad = 1
+        while p_pad < len(hyps):
+            p_pad *= 2
+        obj_idx = np.zeros(p_pad, np.int32)
+        frame_idx = np.zeros(p_pad, np.int32)
+        rs = np.tile(np.eye(3, dtype=np.float32), (p_pad, 1, 1))
+        ts = np.full((p_pad, 3), np.array([0, 0, 1000.0]), np.float32)
+        masks = np.zeros((p_pad, h, w), bool)
+        for i, (bi, oi, si, d) in enumerate(hyps):
+            obj_idx[i] = self._mesh_index[obj_ids[oi]]
+            frame_idx[i] = bi
+            rs[i] = out.R[bi, oi, si]
+            ts[i] = out.t[bi, oi, si]
+            dm_ok = depth_stack[bi] > 0.2
+            masks[i] = (d.mask & dm_ok) if d.mask is not None else dm_ok
+
+        dj = jnp.asarray(depth_stack)
+        tgt_pts, tgt_normals = self._sensor_prep(dj)
+        self._key, sub = jax.random.split(self._key)
+        keys = jax.random.split(sub, p_pad)
+        ref = jax.device_get(self._mf_refiner(
+            jnp.asarray(obj_idx), jnp.asarray(frame_idx),
+            jnp.asarray(rs), jnp.asarray(ts),
+            jnp.asarray(self.cfg.cam_K, jnp.float32),
+            jnp.asarray(masks), dj, tgt_pts, tgt_normals, keys))
+        refined = {}
+        for i, (bi, oi, si, _) in enumerate(hyps):
+            if bool(ref.ok[i]):
+                refined[(bi, oi, si)] = (np.asarray(ref.R[i]),
+                                         np.asarray(ref.t_mm[i]))
+        return refined
 
 
 class RosAdapter:

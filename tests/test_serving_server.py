@@ -85,7 +85,7 @@ class _FakeService:
         self.delay = delay
         self.calls = []
 
-    def process_many(self, rgbs, want_images=False):
+    def process_many(self, rgbs, depths=None, want_images=False):
         self.calls.append(len(rgbs))
         time.sleep(self.delay)
         return [f"r{i}" for i in range(len(rgbs))]
@@ -116,7 +116,7 @@ def test_frontend_coalesces_queued_requests():
 
 def test_frontend_propagates_errors():
     class Boom:
-        def process_many(self, rgbs, want_images=False):
+        def process_many(self, rgbs, depths=None, want_images=False):
             raise ValueError("boom")
 
     fe = BatchingFrontend(Boom())
@@ -148,5 +148,76 @@ def test_server_round_trip_and_concurrency(oracle_service):
         # coalescing happened: fewer dispatches than frames
         assert len(server.frontend.batch_sizes) < 1 + stats["frames"]
         assert max(server.frontend.batch_sizes) >= 2
+    finally:
+        server.close()
+
+
+@pytest.fixture(scope="module")
+def depth_service():
+    """Oracle service with meshes + icp enabled and matching depth."""
+    import dataclasses
+
+    from pix2pose_tpu.ops import rasterizer
+
+    model = OracleGenerator()
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 128, 128, 3)))
+    verts, faces = cube_mesh(40.0)
+    cfg = ServingConfig(cam_K=np.asarray(CAM_K),
+                        outlier_th=(0.1, 0.2, 0.3), inlier_th=0.1,
+                        icp=True)
+    svc = PoseService(cfg, PerFrameDetector(), model, {1: params},
+                      {1: np.array([40, 40, 40, 0, 0, 0], np.float32)},
+                      {1: bbox_corners(verts)},
+                      meshes_m={1: (verts / 1000.0, faces)})
+    frames = []
+    for i in range(2):
+        R, t = pose_with_euler(yaw=0.25 + 0.5 * i, tx=15.0 * i)
+        rgb, _, _ = xyz_scene(R, t)
+        depth_m, _ = rasterizer.render_depth(verts / 1000.0, faces, R,
+                                             t / 1000.0, CAM_K, 480, 640)
+        frames.append((rgb, np.asarray(depth_m), R, t))
+    return svc, frames
+
+
+def test_process_many_batched_icp_refinement(depth_service):
+    svc, frames = depth_service
+    rgbs = [f[0] for f in frames]
+    depths = [f[1] for f in frames]
+    plain = svc.process_many(rgbs)
+    refined = svc.process_many(rgbs, depths=depths)
+    assert len(refined) == len(frames)
+    for res_p, res_r, (_, _, R, t) in zip(plain, refined, frames):
+        assert len(res_r.poses) == 1
+        err_p = np.linalg.norm(res_p.poses[0].t - t)
+        err_r = np.linalg.norm(res_r.poses[0].t - t)
+        # exact synthetic depth: ICP must not hurt, and must have engaged
+        assert err_r <= err_p + 1.0
+        assert err_r < 0.02 * t[2]
+    # refinement actually changed at least one pose
+    deltas = [np.linalg.norm(a.poses[0].t - b.poses[0].t)
+              for a, b in zip(plain, refined)]
+    assert max(deltas) > 1e-6
+
+
+def test_process_many_mixed_depth_batch(depth_service):
+    svc, frames = depth_service
+    rgbs = [f[0] for f in frames]
+    # only frame 1 has depth; frame 0 must still come back unrefined
+    out = svc.process_many(rgbs, depths=[None, frames[1][1]])
+    assert len(out) == 2 and all(len(r.poses) == 1 for r in out)
+
+
+def test_server_depth_protocol(depth_service):
+    svc, frames = depth_service
+    server = PoseServer(svc, max_batch=4)
+    try:
+        c = PoseClient(*server.address)
+        rgb, depth, R, t = frames[0]
+        out = c.estimate(rgb, depth=depth)
+        assert len(out["poses"]) == 1
+        np.testing.assert_allclose(out["poses"][0]["t"], t, rtol=0.05,
+                                   atol=5.0)
+        c.close()
     finally:
         server.close()
