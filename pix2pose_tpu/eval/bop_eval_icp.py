@@ -52,12 +52,16 @@ class BopEvaluatorICP:
                  estimator: Pix2PoseEstimator, params_by_obj: dict,
                  obj_params: dict, meshes_mm: dict, detector,
                  max_det: int = 8, method_name: str = "pix2pose-tpu-icp",
-                 batched: bool = True):
+                 batched: bool = True, icp_max_faces: int | None = 40000):
         """Args:
           estimator: one shared :class:`Pix2PoseEstimator` OR a dict
             {obj_id: estimator} (per-object ``outlier_th``; see
             :func:`pix2pose_tpu.inference.engine.estimators_for_objects`).
           meshes_mm: {obj_id: (verts_mm (V,3), faces (F,3))}.
+          icp_max_faces: cluster-decimate denser meshes to this many
+            faces for the ICP renders (None = render full meshes like the
+            reference's CUDA path). Sub-mm geometric error vs the 20 mm
+            depth-score band; face count sets the TPU render wall-clock.
           batched: run all hypotheses of an image per round through TWO
             launches (one object-vmapped engine pass + one hypothesis-
             batched ICP refine) instead of the reference's per-ROI serial
@@ -75,6 +79,10 @@ class BopEvaluatorICP:
         self.method_name = method_name
         im_w, im_h = dataset.im_size
         self.im_h, self.im_w = im_h, im_w
+        if icp_max_faces is not None:
+            from pix2pose_tpu.data.meshes import decimate_mesh
+            meshes_mm = {o: decimate_mesh(v, f, icp_max_faces)
+                         for o, (v, f) in meshes_mm.items()}
         self.refiners = {
             obj_id: make_icp_refiner(np.asarray(v) / 1000.0, f, im_h, im_w)
             for obj_id, (v, f) in meshes_mm.items()}

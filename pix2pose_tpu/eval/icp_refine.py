@@ -154,10 +154,20 @@ def make_icp_refiner(verts_m, faces, im_h: int, im_w: int,
     return refine
 
 
-def stack_meshes(meshes_m: Sequence[tuple]) -> tuple[np.ndarray, np.ndarray]:
+def stack_meshes(meshes_m: Sequence[tuple], max_faces: int | None = None
+                 ) -> tuple[np.ndarray, np.ndarray]:
     """Pad and stack [(verts_m (V,3), faces (F,3)), ...] to
     ((O,Vmax,3), (O,Fmax,3)); face padding is -1 (the rasterizer's
-    padding convention), vertex padding is zeros."""
+    padding convention), vertex padding is zeros.
+
+    ``max_faces``: optionally cluster-decimate dense meshes first
+    (:func:`pix2pose_tpu.data.meshes.decimate_mesh`) — the render cost
+    inside the refiner scales with the stacked face count, and every
+    hypothesis pays for the LARGEST mesh in the bank.
+    """
+    if max_faces is not None:
+        from pix2pose_tpu.data.meshes import decimate_mesh
+        meshes_m = [decimate_mesh(v, f, max_faces) for v, f in meshes_m]
     v_max = max(np.asarray(v).shape[0] for v, _ in meshes_m)
     f_max = max(np.asarray(f).shape[0] for _, f in meshes_m)
     verts = np.zeros((len(meshes_m), v_max, 3), np.float32)

@@ -321,7 +321,8 @@ class PoseService:
 
             ids = sorted(self.meshes_m)
             self._mesh_index = {o: i for i, o in enumerate(ids)}
-            sv, sf = stack_meshes([self.meshes_m[o] for o in ids])
+            sv, sf = stack_meshes([self.meshes_m[o] for o in ids],
+                                  max_faces=40000)
             self._mf_refiner = make_multiframe_icp_refiner(
                 sv, sf, im_hw[0], im_hw[1])
         if self._sensor_prep is None:

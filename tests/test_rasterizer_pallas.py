@@ -38,3 +38,68 @@ def test_empty_scene():
     out = render_mesh_pallas(verts, faces, verts, R, t, CAM_K, 480, 640,
                              interpret=True)
     assert not bool(np.asarray(out.mask).any())
+
+
+# ------------------------------------------------- binned work-list path
+def _sphere(n_lat=24, n_lon=30, r=40.0):
+    lat = np.linspace(0.12, np.pi - 0.12, n_lat)
+    lon = np.linspace(0, 2 * np.pi, n_lon, endpoint=False)
+    la, lo = np.meshgrid(lat, lon, indexing="ij")
+    verts = np.stack([r * np.sin(la) * np.cos(lo),
+                      r * np.sin(la) * np.sin(lo),
+                      r * np.cos(la)], -1).reshape(-1, 3).astype(np.float32)
+    idx = np.arange(n_lat * n_lon).reshape(n_lat, n_lon)
+    i = np.repeat(np.arange(n_lat - 1), n_lon)
+    j = np.tile(np.arange(n_lon), n_lat - 1)
+    j2 = (j + 1) % n_lon
+    f1 = np.stack([idx[i, j], idx[i + 1, j], idx[i, j2]], -1)
+    f2 = np.stack([idx[i, j2], idx[i + 1, j], idx[i + 1, j2]], -1)
+    return verts, np.concatenate([f1, f2]).astype(np.int32)
+
+
+@pytest.mark.parametrize("mesh", ["cube", "sphere"])
+def test_binned_matches_exhaustive(mesh):
+    import jax.numpy as jnp
+
+    from pix2pose_tpu.ops.rasterizer import project_vertices
+    from pix2pose_tpu.ops.rasterizer_pallas import (rasterize_pallas,
+                                                    rasterize_pallas_binned)
+
+    verts, faces = cube_mesh(40.0) if mesh == "cube" else _sphere()
+    R, t = pose_with_euler(yaw=0.4, pitch=-0.3, tz=500.0)
+    uv, z = project_vertices(jnp.asarray(verts), R, t,
+                             jnp.asarray(CAM_K))
+    a = rasterize_pallas(uv, z, faces, verts, 480, 640, interpret=True)
+    b = rasterize_pallas_binned(uv, z, faces, verts, 480, 640,
+                                interpret=True)
+    assert np.asarray(a.mask).sum() > 500
+    np.testing.assert_array_equal(np.asarray(b.mask), np.asarray(a.mask))
+    np.testing.assert_array_equal(np.asarray(b.depth),
+                                  np.asarray(a.depth))
+    np.testing.assert_array_equal(np.asarray(b.attr), np.asarray(a.attr))
+
+
+def test_binned_vmap_and_empty():
+    import jax
+    import jax.numpy as jnp
+
+    from pix2pose_tpu.ops.rasterizer import project_vertices
+    from pix2pose_tpu.ops.rasterizer_pallas import (rasterize_pallas,
+                                                    rasterize_pallas_binned)
+
+    verts, faces = _sphere(10, 12)
+    Ks = jnp.asarray(CAM_K)
+    poses = [pose_with_euler(yaw=0.2 * i, tz=500.0 + 40 * i)
+             for i in range(2)] + [(np.eye(3, dtype=np.float32),
+                                    np.array([0, 0, -500.0], np.float32))]
+    uvz = [project_vertices(jnp.asarray(verts), R, t, Ks)
+           for R, t in poses]
+    uvs = jnp.stack([u for u, _ in uvz])
+    zs = jnp.stack([z for _, z in uvz])
+    fb = jax.vmap(lambda uv, z: rasterize_pallas_binned(
+        uv, z, faces, verts, 128, 128, interpret=True).depth)
+    fe = jax.vmap(lambda uv, z: rasterize_pallas(
+        uv, z, faces, verts, 128, 128, interpret=True).depth)
+    db, de = fb(uvs, zs), fe(uvs, zs)
+    np.testing.assert_array_equal(np.asarray(db), np.asarray(de))
+    assert not np.asarray(db[2]).any()  # behind-camera frame is empty
