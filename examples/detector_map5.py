@@ -1,13 +1,19 @@
-"""Detector-quality demo: train the CenterNet on 5-class + distractor
+"""Detector-quality demo: train a detector head on 5-class + distractor
 composed scenes, then report held-out COCO mAP and a tuned score
 threshold (the measured replacement for the reference's hand-tuned
 Mask-RCNN config block, ``tools/mask_rcnn_util.py:39-65``).
 
     python examples/detector_map5.py --steps 3000
+    python examples/detector_map5.py --head retinanet --steps 3000
+
+``--head retinanet`` trains the anchor head instead (the reference's
+T-Less alternative, fizyr keras-retinanet at
+``5_evaluation_bop_basic.py:64-97``).
 
 Measured on TPU v5e-1 (2026-08-16, 3000 steps, batch 8 @ 256^2):
-mAP@0.50 = 0.97, mAP@0.75 = 0.84, COCO mAP = 0.72, tuned score
-threshold 0.40 (F1 = 0.96).
+- centernet: mAP@0.50 = 0.97, mAP@0.75 = 0.84, COCO mAP = 0.72, tuned
+  score threshold 0.40 (F1 = 0.96).
+- retinanet: see --head retinanet run output (recorded in docs/PARITY.md).
 """
 
 import argparse
@@ -28,6 +34,8 @@ def main():
     ap.add_argument("--steps", type=int, default=3000)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--im-size", type=int, default=256)
+    ap.add_argument("--head", choices=["centernet", "retinanet"],
+                    default="centernet")
     args = ap.parse_args()
 
     import jax
@@ -35,10 +43,7 @@ def main():
     from pix2pose_tpu.eval.detection_metrics import (
         collect_synthetic_detections, evaluate_detections,
         tune_score_threshold)
-    from pix2pose_tpu.models.detector import CenterNetDetector
     from pix2pose_tpu.training.detector_data import make_detector_batch
-    from pix2pose_tpu.training.detector_train import (
-        create_detector_state, make_detector_step)
     from synthetic import make_shape_patch_store
 
     try:
@@ -53,10 +58,31 @@ def main():
         store = make_shape_patch_store(np.random.RandomState(0))
     store = jax.device_put(store)
 
-    model = CenterNetDetector(num_classes=5)
-    state = create_detector_state(jax.random.PRNGKey(0), model,
-                                  args.im_size)
-    raw = make_detector_step(model)
+    decode_fn = None
+    if args.head == "retinanet":
+        from pix2pose_tpu.models.retinanet import (RetinaNetDetector,
+                                                   anchor_boxes,
+                                                   decode_retinanet)
+        from pix2pose_tpu.training.retinanet_train import (
+            create_retinanet_state, make_retinanet_step)
+
+        model = RetinaNetDetector(num_classes=5)
+        anchors = anchor_boxes(args.im_size)
+        state = create_retinanet_state(jax.random.PRNGKey(0), model,
+                                       args.im_size)
+        raw = make_retinanet_step(model, anchors)
+
+        def decode_fn(out):
+            return decode_retinanet(out, anchors, top_k=32)
+    else:
+        from pix2pose_tpu.models.detector import CenterNetDetector
+        from pix2pose_tpu.training.detector_train import (
+            create_detector_state, make_detector_step)
+
+        model = CenterNetDetector(num_classes=5)
+        state = create_detector_state(jax.random.PRNGKey(0), model,
+                                      args.im_size)
+        raw = make_detector_step(model)
 
     @jax.jit
     def step_fn(state, store, key, lr):
@@ -79,7 +105,8 @@ def main():
     variables = {"params": state.params, "batch_stats": state.stats}
     preds, gts = collect_synthetic_detections(
         model, variables, store, 32, jax.random.PRNGKey(777),
-        im_size=args.im_size, k_obj=6, batch_size=args.batch)
+        im_size=args.im_size, k_obj=6, batch_size=args.batch,
+        decode_fn=decode_fn)
     res = evaluate_detections(preds, gts)
     tuned = tune_score_threshold(preds, gts)
     print(f"held-out mAP@0.50 = {res['mAP50']:.3f}  "

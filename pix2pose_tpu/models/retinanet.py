@@ -227,6 +227,7 @@ def decode_retinanet(out: RetinaOut, anchors, top_k: int = 64,
 
     Returns (bbox (B,top_k,4), score (B,top_k), cls (B,top_k)); suppressed
     slots carry score 0."""
+    anchors = jnp.asarray(anchors)  # numpy anchors + traced gather indices
     probs = jax.nn.sigmoid(out.cls_logits)  # (B, A, C)
     b, a, c = probs.shape
     flat = probs.reshape(b, a * c)
