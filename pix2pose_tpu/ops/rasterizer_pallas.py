@@ -42,7 +42,6 @@ from pix2pose_tpu.ops.rasterizer import RenderOut, project_vertices
 TILE_V = 16
 TILE_U = 128
 FACE_CHUNK = 128
-FAR = 1e9
 
 
 def _kernel(tri_ref, bounds_ref, out_z_ref, out_f_ref, out_a_ref,
@@ -372,6 +371,39 @@ def _build_pairs(bounds, n_tv: int, n_tu: int, n_pairs: int):
     tile, chunk, flag = tile[order], chunk[order], flag[order]
     return (tile // n_tu).astype(jnp.int32), \
         (tile % n_tu).astype(jnp.int32), chunk, flag
+
+
+def binned_pair_stats(uv, z, faces, h: int, w: int,
+                      pair_factor: int = 8) -> dict:
+    """Diagnose the binned path's static work-list capacity for a mesh.
+
+    Returns ``{"needed": N, "capacity": C, "fits": bool}`` — when
+    ``fits`` is False, :func:`rasterize_pallas_binned` at this
+    ``pair_factor`` would DROP (tile, chunk) pairs and faces would go
+    missing from some tiles; raise ``pair_factor`` (or decimate the
+    mesh, :mod:`pix2pose_tpu.data.meshes`). Cheap host-side check for
+    offline validation of a mesh/pose regime."""
+    import numpy as np
+
+    uv = jnp.asarray(uv, jnp.float32)
+    z = jnp.asarray(z, jnp.float32)
+    faces = jnp.asarray(faces, jnp.int32)
+    n_tv, n_tu = h // TILE_V, w // TILE_U
+    _, _, bounds, n_chunks = _sorted_tris(uv, z, faces, h, w)
+    b = np.asarray(bounds)
+    ctv0 = np.clip(np.floor(b[:, 0] / TILE_V), 0, n_tv - 1)
+    ctv1 = np.clip(np.floor(b[:, 1] / TILE_V), 0, n_tv - 1)
+    ctu0 = np.clip(np.floor(b[:, 2] / TILE_U), 0, n_tu - 1)
+    ctu1 = np.clip(np.floor(b[:, 3] / TILE_U), 0, n_tu - 1)
+    off = (b[:, 1] < 0) | (b[:, 0] > n_tv * TILE_V - 1) \
+        | (b[:, 3] < 0) | (b[:, 2] > n_tu * TILE_U - 1) \
+        | (b[:, 0] > b[:, 1])
+    span = np.where(off, 0, (ctv1 - ctv0 + 1) * (ctu1 - ctu0 + 1))
+    needed = int(span.sum())
+    capacity = min(n_chunks * n_tv * n_tu,
+                   max(pair_factor * n_chunks, 1024))
+    return {"needed": needed, "capacity": capacity,
+            "fits": needed <= capacity}
 
 
 @functools.partial(jax.jit,

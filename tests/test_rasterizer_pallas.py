@@ -79,6 +79,33 @@ def test_binned_matches_exhaustive(mesh):
     np.testing.assert_array_equal(np.asarray(b.attr), np.asarray(a.attr))
 
 
+def test_binned_pair_stats():
+    import jax.numpy as jnp
+
+    from pix2pose_tpu.ops.rasterizer import project_vertices
+    from pix2pose_tpu.ops.rasterizer_pallas import binned_pair_stats
+
+    verts, faces = _sphere(40, 50)
+    R, t = pose_with_euler(yaw=0.4, tz=500.0)
+    uv, z = project_vertices(jnp.asarray(verts), R, t, jnp.asarray(CAM_K))
+    st = binned_pair_stats(uv, z, faces, 480, 640)
+    assert st["fits"] and 0 < st["needed"] <= st["capacity"]
+
+    # pathological: ~17k screen-spanning random triangles exceed the 8x
+    # capacity -> the helper must flag it
+    rng = np.random.default_rng(0)
+    vb = rng.normal(size=(4000, 3)).astype(np.float32) * 0.2
+    fb = rng.integers(0, 4000, size=(17000, 3)).astype(np.int32)
+    uv2, z2 = project_vertices(jnp.asarray(vb), np.eye(3, dtype=np.float32),
+                               np.array([0, 0, 0.6], np.float32),
+                               jnp.asarray(CAM_K))
+    st2 = binned_pair_stats(uv2, z2, fb, 480, 640)
+    assert not st2["fits"]
+    # ...and a larger pair_factor restores capacity
+    st3 = binned_pair_stats(uv2, z2, fb, 480, 640, pair_factor=160)
+    assert st3["fits"]
+
+
 def test_binned_vmap_and_empty():
     import jax
     import jax.numpy as jnp
