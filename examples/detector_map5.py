@@ -36,7 +36,13 @@ def main():
     ap.add_argument("--im-size", type=int, default=256)
     ap.add_argument("--head", choices=["centernet", "retinanet"],
                     default="centernet")
+    ap.add_argument("--lr", type=float, default=None,
+                    help="peak lr (default: 1e-3 centernet, 1e-4 retinanet)")
+    ap.add_argument("--trunk", default="resnet50",
+                    help="retinanet trunk (resnet50 | tiny)")
     args = ap.parse_args()
+    peak_lr = args.lr if args.lr is not None else (
+        1e-4 if args.head == "retinanet" else 1e-3)
 
     import jax
 
@@ -66,7 +72,7 @@ def main():
         from pix2pose_tpu.training.retinanet_train import (
             create_retinanet_state, make_retinanet_step)
 
-        model = RetinaNetDetector(num_classes=5)
+        model = RetinaNetDetector(num_classes=5, trunk=args.trunk)
         anchors = anchor_boxes(args.im_size)
         state = create_retinanet_state(jax.random.PRNGKey(0), model,
                                        args.im_size)
@@ -94,12 +100,13 @@ def main():
     for i in range(args.steps):
         key, kb = jax.random.split(key)
         state, parts = step_fn(state, store, kb,
-                               1e-3 * min(1.0, (i + 1) / 100))
+                               peak_lr * min(1.0, (i + 1) / 100))
         if (i + 1) % 100 == 0:
             jax.block_until_ready(parts["total"])  # cap dispatch queue
         if (i + 1) % 500 == 0:
-            print(f"step {i + 1}/{args.steps} ({time.time() - t0:.0f}s)",
-                  flush=True)
+            loss = float(jax.device_get(parts["total"]))
+            print(f"step {i + 1}/{args.steps} loss={loss:.4f} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
     print(f"trained {args.steps} steps in {time.time() - t0:.1f}s")
 
     variables = {"params": state.params, "batch_stats": state.stats}

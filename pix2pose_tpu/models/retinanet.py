@@ -45,20 +45,27 @@ def anchor_boxes(im_size: int, strides: Sequence[int] = (8, 16, 32),
                  ratios: Sequence[float] = (0.5, 1.0, 2.0),
                  base: float = 4.0) -> np.ndarray:
     """All anchors for a square ``im_size`` input, (A_total, 4) as
-    [v1, u1, v2, u2] pixels. Level base size = ``base * stride``."""
+    [v1, u1, v2, u2] pixels. Level base size = ``base * stride``.
+
+    ORDER CONTRACT: position-major within each level —
+    ``index = (v * n + u) * (S*R) + (scale_i * R + ratio_i)`` — matching
+    the head's ``(B, H, W, A*C) -> (B, H*W*A, C)`` reshape. An
+    anchor-major layout here silently scrambles the prediction<->target
+    correspondence (training plateaus, mAP ~0)."""
     out = []
     for s in strides:
         n = im_size // s
         cv = (np.arange(n) + 0.5) * s
         size = base * s
-        for sc in scales:
-            for r in ratios:
-                h = size * sc * math.sqrt(r)
-                w = size * sc / math.sqrt(r)
-                vv, uu = np.meshgrid(cv, cv, indexing="ij")
-                out.append(np.stack([vv - h / 2, uu - w / 2,
-                                     vv + h / 2, uu + w / 2],
-                                    axis=-1).reshape(-1, 4))
+        hws = np.array([[size * sc * math.sqrt(r),
+                         size * sc / math.sqrt(r)]
+                        for sc in scales for r in ratios],
+                       np.float64)  # (A, 2)
+        vv, uu = np.meshgrid(cv, cv, indexing="ij")  # (n, n)
+        ctr = np.stack([vv, uu], -1)[:, :, None, :]  # (n, n, 1, 2)
+        half = hws[None, None, :, :] / 2              # (1, 1, A, 2)
+        lvl = np.concatenate([ctr - half, ctr + half], axis=-1)
+        out.append(lvl.reshape(-1, 4))
     return np.concatenate(out).astype(np.float32)
 
 
@@ -187,6 +194,15 @@ def assign_anchors(anchors, gt_bbox, gt_cls, gt_valid,
     best_iou = jnp.max(iou, axis=1)
     best_gt = jnp.argmax(iou, axis=1)
     pos = best_iou >= pos_iou
+    # force each valid GT's best anchor positive — objects smaller than
+    # the coarsest-matching anchor never reach pos_iou and would
+    # otherwise train as background (observed: a perfectly-overfit model
+    # scoring 0 on 3 of 4 GT boxes)
+    k = gt_bbox.shape[0]
+    best_a = jnp.argmax(iou, axis=0)  # (K,)
+    best_gt = best_gt.at[best_a].set(
+        jnp.where(gt_valid, jnp.arange(k), best_gt[best_a]))
+    pos = pos.at[best_a].set(jnp.where(gt_valid, True, pos[best_a]))
     ignore = (best_iou >= neg_iou) & ~pos
     cls_t_idx = gt_cls[best_gt]
     box_t = encode_deltas(anchors, gt_bbox[best_gt])

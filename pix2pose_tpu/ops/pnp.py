@@ -161,7 +161,8 @@ def _sample_minimal_sets(key, valid, n_hyp: int, k: int = 6):
 
 def pnp_ransac(obj_pts, img_pts, valid, K, key, *, iters: int = 100,
                reproj_px: float = 5.0, min_pts: int = 6,
-               refine_iters: int = 8) -> PnPResult:
+               refine_iters: int = 8, sample_k: int = 6,
+               sample_k_big: int = 12) -> PnPResult:
     """RANSAC EPnP-equivalent pose from masked 2D-3D correspondences.
 
     Args:
@@ -197,21 +198,46 @@ def pnp_ransac(obj_pts, img_pts, valid, K, key, *, iters: int = 100,
     cam_n = _normalized_cam(img_pts, K)
 
     # --- hypothesis generation -------------------------------------------
-    idx = _sample_minimal_sets(key, valid, iters)  # (R, 6)
-    h_obj = obj_n[idx]  # (R, 6, 3)
-    h_cam = cam_n[idx]  # (R, 6, 2)
-    ones6 = jnp.ones((iters, 6), jnp.float32)
-    ata = jax.vmap(_dlt_normal_matrix)(h_obj, h_cam, ones6)  # (R, 12, 12)
-    ata = jnp.where(jnp.isfinite(ata), ata, 0.0)
-    _, vecs = jnp.linalg.eigh(ata)
-    p_min = vecs[..., 0]  # (R, 12) smallest-eigenvalue vector
-    Rs, ts = jax.vmap(
-        lambda p, sp: _pose_from_p(p, obj_mean, obj_scale, sp, K)
-    )(p_min, h_obj)
+    # Two sample-size populations cover complementary failure regimes:
+    # minimal k=6 sets maximize the all-inlier sample probability under
+    # heavy outlier contamination, while redundant k=12 sets average down
+    # pixel noise a 6-point fit would interpolate verbatim. Samples are
+    # weighted by validity so sets drawn from < k valid points degrade to
+    # the valid subset instead of ingesting garbage. Each hypothesis is
+    # then POLISHED with a few Gauss-Newton steps on its own sample (the
+    # DLT's projective relaxation is noise-sensitive; the calibrated ML
+    # fit is what OpenCV's EPnP control-point parametrization gives
+    # natively) — and scored BOTH raw and polished, keeping the better,
+    # so a diverging polish can never cost a hypothesis its consensus.
+    def hypotheses(key_h, n_hyp, k):
+        idx = _sample_minimal_sets(key_h, valid, n_hyp, k=k)  # (R, k)
+        h_obj = obj_n[idx]  # (R, k, 3)
+        h_cam = cam_n[idx]  # (R, k, 2)
+        h_w = valid[idx].astype(jnp.float32)
+        ata = jax.vmap(_dlt_normal_matrix)(h_obj, h_cam, h_w)
+        ata = jnp.where(jnp.isfinite(ata), ata, 0.0)
+        _, vecs = jnp.linalg.eigh(ata)
+        p_min = vecs[..., 0]  # (R, 12) smallest-eigenvalue vector
+        Rs, ts = jax.vmap(
+            lambda p, sp: _pose_from_p(p, obj_mean, obj_scale, sp, K)
+        )(p_min, h_obj)
+        Rs_p, ts_p = jax.vmap(
+            lambda R0, t0, o, im, w: _gauss_newton_refine(
+                R0, t0, o, im, w, K, iters=3, huber_px=reproj_px)
+        )(Rs, ts, obj_pts[idx], img_pts[idx], h_w)
+        return (jnp.concatenate([Rs, Rs_p]),
+                jnp.concatenate([ts, ts_p]))
+
+    key_a, key_b = jax.random.split(key)
+    n_min = iters // 2
+    Rs_a, ts_a = hypotheses(key_a, n_min, sample_k)
+    Rs_b, ts_b = hypotheses(key_b, iters - n_min, sample_k_big)
+    Rs = jnp.concatenate([Rs_a, Rs_b])
+    ts = jnp.concatenate([ts_a, ts_b])
 
     # --- scoring ----------------------------------------------------------
-    proj = jax.vmap(lambda R, t: project(obj_pts, R, t, K))(Rs, ts)  # (R,N,2)
-    err = jnp.linalg.norm(proj - img_pts[None], axis=-1)
+    proj = jax.vmap(lambda R, t: project(obj_pts, R, t, K))(Rs, ts)
+    err = jnp.linalg.norm(proj - img_pts[None], axis=-1)  # (2R, N)
     depth = jnp.einsum("rj,nj->rn", Rs[:, 2, :], obj_pts) + ts[:, 2:3]
     inl = (err < reproj_px) & valid[None, :] & (depth > 0)
     finite = jnp.all(jnp.isfinite(Rs), axis=(1, 2)) & jnp.all(
@@ -220,44 +246,82 @@ def pnp_ransac(obj_pts, img_pts, valid, K, key, *, iters: int = 100,
     best = jnp.argmax(scores)
     best_inl = inl[best]
 
-    # --- refit on consensus ----------------------------------------------
-    w_in = best_inl.astype(jnp.float32)
-    n_in = jnp.sum(w_in)
-    enough = n_in >= min_pts
-    w_fit = jnp.where(enough, w_in, wf)  # degenerate fallback: all valid
-    ata_all = _dlt_normal_matrix(obj_n, cam_n, w_fit)
-    ata_all = jnp.where(jnp.isfinite(ata_all), ata_all, 0.0)
-    _, vecs_all = jnp.linalg.eigh(ata_all)
-    R_fit, t_fit = _pose_from_p(vecs_all[:, 0], obj_mean, obj_scale,
-                                obj_n * w_fit[:, None], K)
-    fit_ok = jnp.all(jnp.isfinite(R_fit)) & jnp.all(jnp.isfinite(t_fit))
-    R_fit = jnp.where(fit_ok, R_fit, Rs[best])
-    t_fit = jnp.where(fit_ok, t_fit, ts[best])
-    R_ref, t_ref = _gauss_newton_refine(R_fit, t_fit, obj_pts, img_pts,
-                                        w_fit, K, iters=refine_iters)
-    ref_ok = jnp.all(jnp.isfinite(R_ref)) & jnp.all(jnp.isfinite(t_ref))
-    R_ref = jnp.where(ref_ok, R_ref, R_fit)
-    t_ref = jnp.where(ref_ok, t_ref, t_fit)
+    # --- locally-optimized consensus (LO-RANSAC) --------------------------
+    # Alternate (count inliers -> weighted DLT refit -> Gauss-Newton)
+    # from the best hypothesis UNGATED — the alternation is a fixed-point
+    # iteration whose intermediate steps can look worse on any single
+    # metric (a refit on a biased subset walks toward the true consensus
+    # through poses whose truncated cost briefly rises; a converged
+    # polish can shed band-edge points a count gate would insist on) —
+    # and select among ALL visited poses at the end by MSAC cost
+    # (truncated squared reprojection: counts saturate on sub-pixel
+    # correspondence sets, where a 25 mm-off pose can hold MORE 5 px
+    # inliers than the converged one). A diverged stage then simply
+    # yields a non-winning candidate. OpenCV's final
+    # EPnP-on-consensus + LM refine reaches the same fixed point on
+    # clean consensus sets.
+    def count(R, t):
+        err = jnp.linalg.norm(project(obj_pts, R, t, K) - img_pts,
+                              axis=-1)
+        depth = obj_pts @ R[2] + t[2]
+        inl = (err < reproj_px) & valid & (depth > 0)
+        cost = jnp.sum(jnp.where(valid,
+                                 jnp.minimum(err, reproj_px) ** 2, 0.0))
+        fin = jnp.all(jnp.isfinite(R)) & jnp.all(jnp.isfinite(t))
+        return inl, jnp.where(fin, cost, jnp.inf)
 
-    # progressive tightening: re-select the consensus at half the band and
-    # polish again — kills the wide-band scale drift that 5px tolerates on
-    # small objects (boundary pixels stay within 5px for quite-wrong depth)
-    err_t = jnp.linalg.norm(project(obj_pts, R_ref, t_ref, K) - img_pts,
+    def safe(R_c, t_c, R_prev, t_prev):
+        fin = jnp.all(jnp.isfinite(R_c)) & jnp.all(jnp.isfinite(t_c))
+        return (jnp.where(fin, R_c, R_prev), jnp.where(fin, t_c, t_prev))
+
+    cands = [(Rs[best], ts[best])]
+    R_c, t_c = Rs[best], ts[best]
+    inl_c = best_inl
+    for _ in range(4):  # LO rounds (static unroll; a weak hypothesis
+        # needs several alternations to walk in)
+        w_fit = jnp.where(jnp.sum(inl_c) >= min_pts,
+                          inl_c.astype(jnp.float32), wf)
+        ata_all = _dlt_normal_matrix(obj_n, cam_n, w_fit)
+        ata_all = jnp.where(jnp.isfinite(ata_all), ata_all, 0.0)
+        _, vecs_all = jnp.linalg.eigh(ata_all)
+        R_f, t_f = _pose_from_p(vecs_all[:, 0], obj_mean, obj_scale,
+                                obj_n * w_fit[:, None], K)
+        R_c, t_c = safe(R_f, t_f, R_c, t_c)
+        inl_c, _ = count(R_c, t_c)
+        w_gn = jnp.where(jnp.sum(inl_c) >= min_pts,
+                         inl_c.astype(jnp.float32), wf)
+        R_g, t_g = _gauss_newton_refine(R_c, t_c, obj_pts, img_pts,
+                                        w_gn, K, iters=refine_iters)
+        R_c, t_c = safe(R_g, t_g, R_c, t_c)
+        inl_c, _ = count(R_c, t_c)
+        cands.append((R_c, t_c))
+
+    def pick_best(cands):
+        Rs_c = jnp.stack([c[0] for c in cands])
+        ts_c = jnp.stack([c[1] for c in cands])
+        costs = jnp.stack([count(c[0], c[1])[1] for c in cands])
+        i = jnp.argmin(costs)
+        return Rs_c[i], ts_c[i]
+
+    R_b2, t_b2 = pick_best(cands)
+
+    # progressive tightening from the winner: re-polish on the half-band
+    # consensus with a tight Huber band — kills the wide-band scale drift
+    # 5px tolerates on small objects AND suppresses the engine's
+    # blur-corrupted silhouette correspondences that sit just inside the
+    # RANSAC band (a WIDE band here measurably biases depth on
+    # rendered-crop correspondences, so keep the 2px default). The
+    # tightened pose joins the final MSAC selection.
+    err_t = jnp.linalg.norm(project(obj_pts, R_b2, t_b2, K) - img_pts,
                             axis=-1)
     w_tight = ((err_t < 0.5 * reproj_px) & valid).astype(jnp.float32)
-    tight_ok = jnp.sum(w_tight) >= min_pts
-    w2 = jnp.where(tight_ok, w_tight, w_fit)
-    R_t2, t_t2 = _gauss_newton_refine(R_ref, t_ref, obj_pts, img_pts, w2,
-                                      K, iters=refine_iters // 2 + 1)
-    good2 = jnp.all(jnp.isfinite(R_t2)) & jnp.all(jnp.isfinite(t_t2))
-    R_ref = jnp.where(good2, R_t2, R_ref)
-    t_ref = jnp.where(good2, t_t2, t_ref)
-
-    # recount inliers with the refined pose (matches OpenCV's returned set)
-    err_f = jnp.linalg.norm(project(obj_pts, R_ref, t_ref, K) - img_pts,
-                            axis=-1)
-    depth_f = obj_pts @ R_ref[2] + t_ref[2]
-    inl_f = (err_f < reproj_px) & valid & (depth_f > 0)
+    inl_b2, _ = count(R_b2, t_b2)
+    w2 = jnp.where(jnp.sum(w_tight) >= min_pts, w_tight,
+                   inl_b2.astype(jnp.float32))
+    R_t2, t_t2 = _gauss_newton_refine(R_b2, t_b2, obj_pts, img_pts,
+                                      w2, K, iters=refine_iters)
+    R_ref, t_ref = pick_best(cands + [safe(R_t2, t_t2, R_b2, t_b2)])
+    inl_f, _ = count(R_ref, t_ref)
 
     ok = (n_valid >= min_pts) & (scores[best] > 0)
     eye = jnp.eye(3, dtype=jnp.float32)
