@@ -28,6 +28,45 @@ def test_anchor_counts_and_coverage():
     assert len(ratios) >= 3
 
 
+def test_anchor_order_is_position_major():
+    """The head reshapes (B,H,W,A*C) -> (B,H*W*A,C), so anchor index
+    (v*n+u)*A + a MUST vary anchor-shape fastest and position next —
+    an anchor-major layout silently scrambles prediction<->target
+    correspondence (the training-plateau bug)."""
+    a = anchor_boxes(64, strides=(8,))
+    n = 64 // 8
+    a = a.reshape(n, n, 9, 4)
+    cv = (a[..., 0] + a[..., 2]) / 2
+    cu = (a[..., 1] + a[..., 3]) / 2
+    # all 9 anchors of one cell share its center
+    assert np.allclose(cv, cv[..., :1]) and np.allclose(cu, cu[..., :1])
+    # centers advance with the stride along each axis
+    np.testing.assert_allclose(cv[:, 0, 0], (np.arange(n) + 0.5) * 8)
+    np.testing.assert_allclose(cu[0, :, 0], (np.arange(n) + 0.5) * 8)
+    # the 9 shapes differ within a cell
+    hh = a[0, 0, :, 2] - a[0, 0, :, 0]
+    ww = a[0, 0, :, 3] - a[0, 0, :, 1]
+    assert len(np.unique(np.round(hh * 1000 + ww, 1))) == 9
+
+
+def test_assign_forces_best_anchor_for_small_gt():
+    """A GT smaller than every anchor must still get (at least) one
+    positive anchor — otherwise it trains as background."""
+    anchors = jnp.asarray(anchor_boxes(128))
+    tiny = jnp.asarray([[60.0, 60.0, 70.0, 70.0],  # 10px: IoU < 0.5 vs
+                        [0.0, 0.0, 0.0, 0.0]])     # every >=32px anchor
+    gt_cls = jnp.array([3, -1], jnp.int32)
+    gt_valid = jnp.array([True, False])
+    cls_idx, box_t, pos, ignore = assign_anchors(anchors, tiny, gt_cls,
+                                                 gt_valid)
+    from pix2pose_tpu.models.retinanet import iou_matrix
+    iou = np.asarray(iou_matrix(anchors, tiny))[:, 0]
+    assert iou.max() < 0.5  # premise: below the pos threshold
+    forced = int(np.argmax(iou))
+    assert bool(pos[forced]) and int(cls_idx[forced]) == 3
+    assert int(np.asarray(pos).sum()) == 1
+
+
 def test_encode_decode_roundtrip():
     rng = np.random.RandomState(0)
     anchors = jnp.asarray(anchor_boxes(128)[::97])  # subsample
