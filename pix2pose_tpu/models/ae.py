@@ -54,11 +54,12 @@ class _DeconvBNAct(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        # explicit (2, 3) padding reproduces TF/Keras Conv2DTranspose
-        # 'same' (k5/s2) exactly — flax's "SAME" places the asymmetric pad
-        # on the other side (validated in tests/test_hdf5_import.py)
+        # flax "SAME" reproduces TF/Keras Conv2DTranspose 'same' (k5/s2)
+        # EXACTLY — validated against real tf.keras in
+        # tests/test_tf_golden.py. (An earlier ((2,3),(2,3)) variant
+        # matched a torch oracle that itself was one pixel off TF.)
         y = nn.ConvTranspose(self.features, (5, 5), strides=(2, 2),
-                             padding=((2, 3), (2, 3)), dtype=self.dtype,
+                             padding="SAME", dtype=self.dtype,
                              name="deconv")(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.99,
                          epsilon=1e-3, dtype=self.dtype, name="bn")(y)
@@ -140,11 +141,11 @@ class AutoEncoder(nn.Module):
         y = _ConvBNAct(128, dtype=self.dtype, name="d3_uni")(y, train)
 
         xyz = nn.ConvTranspose(3, (5, 5), strides=(2, 2),
-                               padding=((2, 3), (2, 3)),
+                               padding="SAME",
                                dtype=self.dtype, name="head_xyz")(y)
         xyz = jnp.tanh(xyz)
         prob = nn.ConvTranspose(1, (5, 5), strides=(2, 2),
-                                padding=((2, 3), (2, 3)),
+                                padding="SAME",
                                 dtype=self.dtype, name="head_prob")(y)
         prob = nn.sigmoid(prob)
         return xyz.astype(jnp.float32), prob.astype(jnp.float32)

@@ -34,8 +34,10 @@ def test_conv_same_stride2_matches_torch():
 
 
 def test_conv_transpose_kernel_mapping_matches_torch():
-    """Keras Conv2DTranspose == torch ConvTranspose2d(pad=2, out_pad=1) for
-    k5/s2/'same'; our _kernel_ct mapping must make flax agree."""
+    """Keras Conv2DTranspose 'same' (k5/s2) == the FULL torch transposed
+    conv sliced ``[1:1+2*in]`` (verified against real tf.keras in
+    test_tf_golden.py; torch's ``padding=2, output_padding=1`` form is
+    one pixel off TF); our _kernel_ct mapping + flax "SAME" must agree."""
     rng = np.random.RandomState(1)
     x = rng.normal(size=(1, 8, 8, 3)).astype(np.float32)
     k_keras = rng.normal(size=(5, 5, 4, 3)).astype(np.float32)  # (kh,kw,out,in)
@@ -45,12 +47,12 @@ def test_conv_transpose_kernel_mapping_matches_torch():
     xt = torch.tensor(x.transpose(0, 3, 1, 2))
     wt = torch.tensor(k_keras.transpose(3, 2, 0, 1))  # (in,out,kh,kw)
     ot = torch.nn.functional.conv_transpose2d(
-        xt, wt, torch.tensor(b), stride=2, padding=2, output_padding=1)
-    ref = ot.numpy().transpose(0, 2, 3, 1)
+        xt, wt, torch.tensor(b), stride=2, padding=0)
+    ref = ot.numpy().transpose(0, 2, 3, 1)[:, 1:17, 1:17]
     assert ref.shape == (1, 16, 16, 4)
 
     mdl = nn.ConvTranspose(4, (5, 5), strides=(2, 2),
-                           padding=((2, 3), (2, 3)))
+                           padding="SAME")
     k_flax = hdf5_import._kernel_ct(k_keras)
     out = mdl.apply({"params": {"kernel": jnp.asarray(k_flax),
                                 "bias": jnp.asarray(b)}}, jnp.asarray(x))
@@ -139,8 +141,10 @@ def _torch_paper_generator(h5_path, x_nhwc):
     def deconv(x, idx):
         w = rd(f"conv2d_transpose_{idx}")
         wt = torch.tensor(w["kernel"].transpose(3, 2, 0, 1))
-        return F.conv_transpose2d(x, wt, torch.tensor(w["bias"]),
-                                  stride=2, padding=2, output_padding=1)
+        full = F.conv_transpose2d(x, wt, torch.tensor(w["bias"]),
+                                  stride=2, padding=0)
+        n = 2 * x.shape[-1]  # TF 'same': slice [1:1+2*in] of the full
+        return full[..., 1:1 + n, 1:1 + n]
 
     def lrelu(x):
         return F.leaky_relu(x, 0.3)
