@@ -8,7 +8,9 @@ autoencoder as a GAN, evaluate with the trained network and score BOP'19 AR
 Reference pipeline equivalents exercised: 2_1 colorize -> 2_2 pairs ->
 3 train -> 5 eval -> (external bop_toolkit) scoring, all in-framework.
 
-Observed on TPU v5e with --steps 3000 (~4 min): AR ~0.83, ADD-0.1d ~0.75.
+Observed on TPU v5e (2026-08-17): --steps 6000 (~10 min) AR 0.80,
+ADD-0.1d 0.75; --steps 3000 is marginal (AR 0.5-0.7, high seed
+variance across runs).
 """
 
 import argparse
