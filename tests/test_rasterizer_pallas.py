@@ -79,6 +79,34 @@ def test_binned_matches_exhaustive(mesh):
     np.testing.assert_array_equal(np.asarray(b.attr), np.asarray(a.attr))
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_binned_fuzz_matches_exhaustive(seed):
+    """Random meshes with degenerate faces, behind-camera vertices and
+    off-screen geometry: the two Pallas drivers must agree exactly."""
+    import jax.numpy as jnp
+
+    from pix2pose_tpu.ops.rasterizer_pallas import (rasterize_pallas,
+                                                    rasterize_pallas_binned)
+
+    rng = np.random.default_rng(seed)
+    n_v = 80
+    verts = rng.normal(size=(n_v, 3)).astype(np.float32) * 0.04
+    faces = rng.integers(0, n_v, size=(90, 3)).astype(np.int32)
+    faces[:5, 1] = faces[:5, 0]           # degenerate (repeated vertex)
+    z = rng.uniform(0.3, 0.8, n_v).astype(np.float32)
+    z[:6] = -0.2                          # behind camera
+    uv = rng.uniform(-80, 200, size=(n_v, 2)).astype(np.float32)  # off-screen
+    attrs = rng.normal(size=(n_v, 3)).astype(np.float32)
+    a = rasterize_pallas(jnp.asarray(uv), jnp.asarray(z), faces, attrs,
+                         128, 128, interpret=True)
+    b = rasterize_pallas_binned(jnp.asarray(uv), jnp.asarray(z), faces,
+                                attrs, 128, 128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(b.mask), np.asarray(a.mask))
+    np.testing.assert_array_equal(np.asarray(b.depth),
+                                  np.asarray(a.depth))
+    np.testing.assert_array_equal(np.asarray(b.attr), np.asarray(a.attr))
+
+
 def test_binned_pair_stats():
     import jax.numpy as jnp
 
