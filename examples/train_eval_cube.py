@@ -9,8 +9,9 @@ Reference pipeline equivalents exercised: 2_1 colorize -> 2_2 pairs ->
 3 train -> 5 eval -> (external bop_toolkit) scoring, all in-framework.
 
 Observed on TPU v5e (2026-08-17): --steps 6000 (~10 min) AR 0.80,
-ADD-0.1d 0.75; --steps 3000 is marginal (AR 0.5-0.7, high seed
-variance across runs).
+ADD-0.1d 0.75; --backbone resnet50 --steps 6000 (from-scratch trunk,
+~9 min) AR 0.84, ADD-0.1d 0.75. --steps 3000 is marginal (AR 0.5-0.7,
+high seed variance across runs).
 """
 
 import argparse
@@ -34,6 +35,10 @@ def main():
     ap.add_argument("--steps", type=int, default=3000)
     ap.add_argument("--train-views", type=int, default=48)
     ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--backbone", choices=["paper", "resnet50"],
+                    default="paper",
+                    help="generator encoder (resnet50 = BOP'20 variant, "
+                         "trained from scratch here)")
     args = ap.parse_args()
 
     from bop_fixture import build_cube_dataset
@@ -72,7 +77,7 @@ def main():
     store = PatchStore.load(
         os.path.join(root, "cubes", "train_xyz", "01"), back_dir)
     cfg = TrainConfig(batch_size=args.batch)
-    gen, disc = AutoEncoder(backbone="paper"), Discriminator()
+    gen, disc = AutoEncoder(backbone=args.backbone), Discriminator()
     state = create_train_state(jax.random.PRNGKey(0), gen, disc, cfg)
     raw_step = make_train_step(gen, disc, cfg)
     sym = jnp.eye(3)[None]
