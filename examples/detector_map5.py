@@ -14,10 +14,10 @@ Measured on TPU v5e-1 (3000 steps, batch 8 @ 256^2):
 - centernet (2026-08-16): mAP@0.50 = 0.97, mAP@0.75 = 0.84, COCO
   mAP = 0.72, tuned score threshold 0.40 (F1 = 0.96).
 - retinanet (2026-08-17, resnet50 trunk, lr 1e-4): mAP@0.50 = 0.66,
-  mAP@0.75 = 0.59, COCO mAP = 0.50; at 6000 steps 0.69 / 0.66 / 0.59
-  (tuned score threshold 0.10, F1 = 0.82). Anchor heads converge slower
-  than the heatmap head; the reference's keras-retinanet trains ~50
-  epochs.
+  mAP@0.75 = 0.59, COCO mAP = 0.50; at 6000 steps 0.69 / 0.66 / 0.59;
+  10k steps plateau at 0.66 / 0.65 / 0.58 (tuned score threshold 0.10).
+  The constant-lr schedule saturates here — a decay schedule is the
+  obvious next knob if reference-level anchor-head mAP is needed.
 """
 
 import argparse
