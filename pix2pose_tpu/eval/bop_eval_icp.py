@@ -86,6 +86,9 @@ class BopEvaluatorICP:
         self.refiners = {
             obj_id: make_icp_refiner(np.asarray(v) / 1000.0, f, im_h, im_w)
             for obj_id, (v, f) in meshes_mm.items()}
+        # dropped binned-rasterizer work pairs across all refines (see
+        # RenderOut.overflow); nonzero => some ICP renders truncated
+        self.render_overflow = 0
         self._normals = jax.jit(
             lambda d, k: geometry.normals_from_depth(d, k, refine=True))
         self._backproject = jax.jit(geometry.backproject)
@@ -162,6 +165,13 @@ class BopEvaluatorICP:
                 total += 1
                 if cfg.task_type == 2 and total > n_inst:
                     break
+        if self.render_overflow:
+            import warnings
+            warnings.warn(
+                f"{self.render_overflow} rasterizer work pairs dropped "
+                "during ICP renders — depth scores may be computed on "
+                "truncated renders; raise render pair_factor or lower "
+                "icp_max_faces", RuntimeWarning)
         if out_dir:
             suffix = ("-test-primesense.csv" if ds.name == "tless"
                       else "-test.csv")
@@ -237,6 +247,7 @@ class BopEvaluatorICP:
                         jnp.asarray(union), jnp.asarray(depth), tgt_pts,
                         tgt_normals, k2)
                     fcn = float(ref.score)
+                    self.render_overflow += int(ref.overflow)
                     score = (det.score * fcn if rounds == 0
                              else 0.001 * fcn)  # ``icp3d:487-489``
                     if best is None or score > best["score"]:
@@ -417,6 +428,8 @@ class BopEvaluatorICP:
             jax.random.split(key, h_pad))
         fcn = np.asarray(ref.score)
         ratio = np.asarray(ref.ratio)
+        self.render_overflow += int(np.sum(np.asarray(
+            ref.overflow)[:len(hyps)]))
         R_ref = np.asarray(ref.R)
         t_ref = np.asarray(ref.t_mm)
         inlier = np.asarray(ref.inlier_mask)

@@ -41,6 +41,9 @@ class RefineOut(NamedTuple):
     ratio: jnp.ndarray    # () inlier-pixel fraction of the union mask
     inlier_mask: jnp.ndarray  # (H,W) bool, |dz| < 0.02 within union
     ok: jnp.ndarray       # () bool
+    # () int32: dropped rasterizer work pairs across this hypothesis'
+    # renders (see RenderOut.overflow) — 0 means renders were exact
+    overflow: jnp.ndarray | int = 0
 
 
 def _sample_masked(key, mask_flat, n_sample):
@@ -89,8 +92,10 @@ def _refine_body(verts_m, faces, im_h, im_w, n_src, n_tgt, icp_iters,
 
     # render at the initial pose (depth in meters)
     t_m = t_mm / 1000.0
-    depth_init, mask_init = rasterizer.render_depth(
-        verts_m, faces, R, t_m, cam_k, im_h, im_w)
+    rout_init = rasterizer.render_mesh(
+        verts_m, faces, jnp.zeros((verts_m.shape[0], 1)), R, t_m, cam_k,
+        im_h, im_w)
+    depth_init, mask_init = rout_init.depth, rout_init.mask
     init_mask = mask_init & union_mask
     enough = jnp.sum(init_mask) >= 10  # ``icp3d:73-76``
 
@@ -124,8 +129,10 @@ def _refine_body(verts_m, faces, im_h, im_w, n_src, n_tgt, icp_iters,
     t_ref_mm = jnp.where(use, t_ref_mm, t_mm)
 
     # re-render + depth-consistency score (``icp3d:471-491``)
-    depth_ref, _ = rasterizer.render_depth(
-        verts_m, faces, R_ref, t_ref_mm / 1000.0, cam_k, im_h, im_w)
+    rout_ref = rasterizer.render_mesh(
+        verts_m, faces, jnp.zeros((verts_m.shape[0], 1)), R_ref,
+        t_ref_mm / 1000.0, cam_k, im_h, im_w)
+    depth_ref = rout_ref.depth
     dz = jnp.abs(depth_ref - depth_m)
     in_union = union_mask & (depth_m > 0)
     inlier = in_union & (dz < 0.02) & (depth_ref > 0)
@@ -133,7 +140,9 @@ def _refine_body(verts_m, faces, im_h, im_w, n_src, n_tgt, icp_iters,
         jnp.where(in_union, jnp.maximum(0.0, 0.02 - dz), 0.0)) / 0.02
     ratio = jnp.sum(inlier) / jnp.maximum(jnp.sum(in_union), 1)
     return RefineOut(R=R_ref, t_mm=t_ref_mm, score=fcn, ratio=ratio,
-                     inlier_mask=inlier, ok=use & enough)
+                     inlier_mask=inlier, ok=use & enough,
+                     overflow=(jnp.int32(rout_init.overflow)
+                               + jnp.int32(rout_ref.overflow)))
 
 
 def make_icp_refiner(verts_m, faces, im_h: int, im_w: int,

@@ -111,16 +111,21 @@ def make_vsd(verts_mm, faces, im_h: int, im_w: int, delta_mm: float = 15.0):
     """Build a jitted VSD(e | taus) evaluator for one mesh.
 
     Returns fn(R_est, t_est_mm, R_gt, t_gt_mm, K, scene_depth_mm, taus_mm)
-    -> (n_tau,) errors in [0, 1]."""
+    -> ((n_tau,) errors in [0, 1], () int32 rasterizer work-pair overflow
+    — nonzero means the binned Pallas driver truncated and the errors are
+    suspect; see ``RenderOut.overflow``)."""
     verts = jnp.asarray(verts_mm, jnp.float32)
     faces = jnp.asarray(faces, jnp.int32)
+    zattr = jnp.zeros((verts.shape[0], 1))
 
     @jax.jit
     def vsd(R_est, t_est, R_gt, t_gt, K, depth_scene, taus):
-        d_est, m_est = rasterizer.render_depth(verts, faces, R_est, t_est,
-                                               K, im_h, im_w)
-        d_gt, m_gt = rasterizer.render_depth(verts, faces, R_gt, t_gt, K,
-                                             im_h, im_w)
+        ro_est = rasterizer.render_mesh(verts, faces, zattr, R_est, t_est,
+                                        K, im_h, im_w)
+        ro_gt = rasterizer.render_mesh(verts, faces, zattr, R_gt, t_gt, K,
+                                       im_h, im_w)
+        d_est, m_est = ro_est.depth, ro_est.mask
+        d_gt, m_gt = ro_gt.depth, ro_gt.mask
         has_scene = depth_scene > 0
         # visibility: rendered surface within delta in front of the scene
         # depth (or no scene measurement -> visible)
@@ -140,7 +145,8 @@ def make_vsd(verts_mm, faces, im_h: int, im_w: int, delta_mm: float = 15.0):
             ok = inter & (dist <= tau)
             return 1.0 - jnp.sum(ok) / n_union
 
-        return jax.vmap(err_for)(taus)
+        return jax.vmap(err_for)(taus), (jnp.int32(ro_est.overflow)
+                                         + jnp.int32(ro_gt.overflow))
 
     return vsd
 
@@ -262,9 +268,17 @@ def evaluate_bop(results, dataset, target_list=None, metrics=("vsd",
                             gt["R"], gt["t"]))
                     if "vsd" in metrics:
                         taus = jnp.asarray(_TAU_FRACS * diam, jnp.float32)
-                        e["vsd"] = np.asarray(vsd_fns[obj_id](
+                        vsd_err, vsd_ovf = vsd_fns[obj_id](
                             est["R"], est["t"], gt["R"], gt["t"], cam_k,
-                            depth_scene, taus))
+                            depth_scene, taus)
+                        e["vsd"] = np.asarray(vsd_err)
+                        if int(vsd_ovf):
+                            import warnings
+                            warnings.warn(
+                                "VSD render truncated "
+                                f"({int(vsd_ovf)} dropped rasterizer "
+                                "work pairs) — raise pair_factor or "
+                                "decimate the mesh", RuntimeWarning)
                     rank = e.get("mssd", e.get("mspd",
                                  float(np.mean(e.get("vsd", [1.0])))))
                     if best is None or rank < best[1]:

@@ -199,10 +199,20 @@ def assign_anchors(anchors, gt_bbox, gt_cls, gt_valid,
     # otherwise train as background (observed: a perfectly-overfit model
     # scoring 0 on 3 of 4 GT boxes)
     k = gt_bbox.shape[0]
+    n_a = anchors.shape[0]
     best_a = jnp.argmax(iou, axis=0)  # (K,)
-    best_gt = best_gt.at[best_a].set(
-        jnp.where(gt_valid, jnp.arange(k), best_gt[best_a]))
-    pos = pos.at[best_a].set(jnp.where(gt_valid, True, pos[best_a]))
+    # scatter with collision-safe reductions: two valid GTs sharing one
+    # best anchor resolve to the LOWER gt index (XLA .set() with
+    # duplicate indices is order-unspecified), and invalid GTs (whose
+    # all(-1) iou row makes argmax degenerate to anchor 0) are routed to
+    # an out-of-bounds index and dropped instead of colliding at anchor 0
+    safe_a = jnp.where(gt_valid, best_a, n_a)
+    forced = jnp.zeros(n_a, jnp.int32).at[safe_a].max(
+        gt_valid.astype(jnp.int32), mode="drop") > 0
+    forced_gt = jnp.full(n_a, k, jnp.int32).at[safe_a].min(
+        jnp.where(gt_valid, jnp.arange(k), k), mode="drop")
+    best_gt = jnp.where(forced, jnp.minimum(forced_gt, k - 1), best_gt)
+    pos = pos | forced
     ignore = (best_iou >= neg_iou) & ~pos
     cls_t_idx = gt_cls[best_gt]
     box_t = encode_deltas(anchors, gt_bbox[best_gt])

@@ -31,6 +31,11 @@ class RenderOut(NamedTuple):
     depth: jnp.ndarray  # (h, w) float32, 0 = background
     attr: jnp.ndarray   # (h, w, C) interpolated vertex attributes
     mask: jnp.ndarray   # (h, w) bool
+    # count of (tile, chunk) work pairs DROPPED by the binned Pallas
+    # driver's static capacity (faces missing from some tiles when > 0);
+    # always 0 for the XLA and exhaustive-Pallas paths. Device scalar —
+    # accumulate and fetch deferred (axon pathology 1), don't read hot.
+    overflow: jnp.ndarray | int = 0
 
 
 def project_vertices(verts, R, t, K):
@@ -151,7 +156,8 @@ def rasterize(uv, z, faces, attrs, h: int, w: int, v0=0, u0=0,
 
 def render_mesh(verts, faces, attrs, R, t, K, h: int, w: int,
                 v0=0, u0=0, chunk: int = 128,
-                prefer_pallas: bool | None = None) -> RenderOut:
+                prefer_pallas: bool | None = None,
+                pair_factor: int = 8) -> RenderOut:
     """Convenience: pose + project + rasterize (jit-compatible; h, w
     static).
 
@@ -160,6 +166,11 @@ def render_mesh(verts, faces, attrs, R, t, K, h: int, w: int,
     scale with actual tile/chunk overlap — faster than both the XLA scan
     path and the exhaustive Pallas grid at every measured mesh size);
     windowed or oddly-shaped renders use the XLA scan path.
+
+    ``pair_factor`` sizes the binned driver's static work list; the
+    returned :attr:`RenderOut.overflow` counts dropped work pairs (0 =
+    exact). Callers on truncation-sensitive paths (ICP, VSD) accumulate
+    it on device and surface it at result-fetch time.
     """
     uv, z = project_vertices(verts, R, t, K)
     if prefer_pallas is None:
@@ -177,7 +188,8 @@ def render_mesh(verts, faces, attrs, R, t, K, h: int, w: int,
         from pix2pose_tpu.ops.rasterizer_pallas import \
             rasterize_pallas_binned
 
-        return rasterize_pallas_binned(uv, z, faces, attrs, h, w)
+        return rasterize_pallas_binned(uv, z, faces, attrs, h, w,
+                                       pair_factor=pair_factor)
     return rasterize(uv, z, faces, attrs, h, w, v0, u0, chunk)
 
 

@@ -215,7 +215,8 @@ def _sorted_tris(uv, z, faces, h: int, w: int):
     return packed, faces, bounds, n_chunks
 
 
-def _attr_epilogue(izb, fidx, ba, bb, faces, z, attrs) -> RenderOut:
+def _attr_epilogue(izb, fidx, ba, bb, faces, z, attrs,
+                   overflow=0) -> RenderOut:
     """Perspective-correct attribute interpolation from winning faces
     (an XLA gather — outside the kernel on purpose). ``izb`` is the
     kernel's interpolated-1/z buffer (0 = background)."""
@@ -232,7 +233,7 @@ def _attr_epilogue(izb, fidx, ba, bb, faces, z, attrs) -> RenderOut:
             + fa[..., 2, :] * (cw / fz[..., 2])[..., None]) \
         / jnp.maximum(wsum, 1e-12)[..., None]
     attr = jnp.where(mask[..., None], attr, 0.0)
-    return RenderOut(depth=depth, attr=attr, mask=mask)
+    return RenderOut(depth=depth, attr=attr, mask=mask, overflow=overflow)
 
 
 @functools.partial(jax.jit,
@@ -369,8 +370,9 @@ def _build_pairs(bounds, n_tv: int, n_tu: int, n_pairs: int):
                     tile * 2 + (flag == PAIR_FLAG_WORK))
     order = jnp.argsort(key)
     tile, chunk, flag = tile[order], chunk[order], flag[order]
+    dropped = jnp.maximum(total - n_pairs, 0).astype(jnp.int32)
     return (tile // n_tu).astype(jnp.int32), \
-        (tile % n_tu).astype(jnp.int32), chunk, flag
+        (tile % n_tu).astype(jnp.int32), chunk, flag, dropped
 
 
 def binned_pair_stats(uv, z, faces, h: int, w: int,
@@ -425,8 +427,10 @@ def rasterize_pallas_binned(uv, z, faces, attrs, h: int, w: int,
     After the spatial sort a chunk's bbox overlaps a handful of tiles, so
     8 is generous for real meshes; chunks of near-degenerate/huge
     triangles (bbox spanning many tiles) can exceed it, in which case
-    excess pairs are DROPPED (faces missing from some tiles). Raise it if
-    a mesh is pathological.
+    excess pairs are DROPPED (faces missing from some tiles). The dropped
+    count is reported as ``RenderOut.overflow`` (device scalar; 0 =
+    exact) — truncation-sensitive callers accumulate it and check at
+    fetch time; raise ``pair_factor`` when it fires.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -446,7 +450,7 @@ def rasterize_pallas_binned(uv, z, faces, attrs, h: int, w: int,
     # the true upper bound tiles x chunks
     n_pairs = min(n_chunks * n_tv * n_tu,
                   max(pair_factor * n_chunks, 1024))
-    pair_tv, pair_tu, pair_chunk, pair_flag = _build_pairs(
+    pair_tv, pair_tu, pair_chunk, pair_flag, dropped = _build_pairs(
         bounds, n_tv, n_tu, n_pairs)
     n_entries = n_tv * n_tu + n_pairs
 
@@ -473,7 +477,8 @@ def rasterize_pallas_binned(uv, z, faces, attrs, h: int, w: int,
         out_shape=out_shapes,
         interpret=interpret,
     )(pair_tv, pair_tu, pair_chunk, pair_flag, packed)
-    return _attr_epilogue(zb, fidx, ba, bb, faces, z, attrs)
+    return _attr_epilogue(zb, fidx, ba, bb, faces, z, attrs,
+                          overflow=dropped)
 
 
 def render_mesh_pallas(verts, faces, attrs, R, t, K, h: int, w: int,

@@ -59,11 +59,19 @@ def _recv_msg(sock: socket.socket, n_payloads: int = 0):
     raw = _recv_exact(sock, 4)
     if raw is None:
         return None, None
-    header = json.loads(_recv_exact(sock, struct.unpack("!I", raw)[0]))
+    blob = _recv_exact(sock, struct.unpack("!I", raw)[0])
+    if blob is None:  # mid-message disconnect
+        return None, None
+    header = json.loads(blob)
     payloads = []
     for _ in range(n_payloads):
-        ln = struct.unpack("!I", _recv_exact(sock, 4))[0]
-        payloads.append(_recv_exact(sock, ln))
+        raw = _recv_exact(sock, 4)
+        if raw is None:
+            return None, None
+        p = _recv_exact(sock, struct.unpack("!I", raw)[0])
+        if p is None:
+            return None, None
+        payloads.append(p)
     return header, payloads
 
 
@@ -126,8 +134,16 @@ class BatchingFrontend:
                         p.result = RuntimeError("frontend closed")
                         p.event.set()
                     return
-                batch = self._q[:self.max_batch]
-                del self._q[:len(batch)]
+                # one dispatch = one (shape, dtype) group: process_many
+                # stacks frames into a single array, so mixed-resolution
+                # clients must not land in the same batch. Head-of-queue
+                # shape wins; other shapes stay queued for the next round
+                k0 = (self._q[0].rgb.shape, self._q[0].rgb.dtype)
+                batch = [p for p in self._q
+                         if (p.rgb.shape, p.rgb.dtype) == k0
+                         ][:self.max_batch]
+                taken = set(map(id, batch))
+                self._q = [p for p in self._q if id(p) not in taken]
             try:
                 want = any(p.want_images for p in batch)
                 depths = ([p.depth for p in batch]
@@ -184,16 +200,26 @@ class PoseServer:
     def _serve_conn(self, conn: socket.socket):
         try:
             while True:
-                raw = _recv_exact(conn, 4)
-                if raw is None:
+                # every read may hit a mid-message disconnect
+                # (_recv_exact -> None): treat all of them as a clean
+                # client hang-up, not a handler-thread crash
+                header, payloads = _recv_msg(conn, 0)
+                if header is None:
                     return
-                header = json.loads(
-                    _recv_exact(conn, struct.unpack("!I", raw)[0]))
                 n_payloads = 2 if header.get("has_depth") else 1
-                payloads = []
+                disconnected = False
                 for _ in range(n_payloads):
-                    ln = struct.unpack("!I", _recv_exact(conn, 4))[0]
-                    payloads.append(_recv_exact(conn, ln))
+                    raw = _recv_exact(conn, 4)
+                    if raw is None:
+                        disconnected = True
+                        break
+                    p = _recv_exact(conn, struct.unpack("!I", raw)[0])
+                    if p is None:
+                        disconnected = True
+                        break
+                    payloads.append(p)
+                if disconnected:
+                    return
                 rgb = np.frombuffer(
                     payloads[0], dtype=np.dtype(header["dtype"])
                 ).reshape(header["h"], header["w"], 3)

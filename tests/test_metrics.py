@@ -116,10 +116,12 @@ def test_vsd_zero_at_gt_and_positive_offset(cube):
     K[2, 2] = 1.0
     taus = jnp.asarray([5.0, 20.0], jnp.float32)
     depth0 = jnp.zeros((240, 320), jnp.float32)
-    e0 = np.asarray(vsd(R, t, R, t, K, depth0, taus))
+    e0, ovf0 = vsd(R, t, R, t, K, depth0, taus)
+    e0 = np.asarray(e0)
+    assert int(ovf0) == 0
     assert (e0 < 0.02).all()
     t2 = t + np.array([0.0, 0.0, 15.0], np.float32)
-    e1 = np.asarray(vsd(R, t2, R, t, K, depth0, taus))
+    e1 = np.asarray(vsd(R, t2, R, t, K, depth0, taus)[0])
     assert e1[0] > 0.5  # 15mm misfit >> 5mm tau
     assert e1[1] < 0.5  # 20mm tau forgives the 15mm offset mostly
 

@@ -158,3 +158,34 @@ def test_binned_vmap_and_empty():
     db, de = fb(uvs, zs), fe(uvs, zs)
     np.testing.assert_array_equal(np.asarray(db), np.asarray(de))
     assert not np.asarray(db[2]).any()  # behind-camera frame is empty
+
+
+def test_binned_overflow_flag():
+    """The binned driver reports dropped work pairs via
+    ``RenderOut.overflow``; a large-enough pair_factor restores overflow
+    == 0 AND exact agreement with the exhaustive driver."""
+    import jax.numpy as jnp
+
+    from pix2pose_tpu.ops.rasterizer import project_vertices
+    from pix2pose_tpu.ops.rasterizer_pallas import (rasterize_pallas,
+                                                    rasterize_pallas_binned)
+
+    rng = np.random.default_rng(1)
+    vb = rng.normal(size=(4000, 3)).astype(np.float32) * 0.2
+    fb = rng.integers(0, 4000, size=(17000, 3)).astype(np.int32)
+    uv, z = project_vertices(jnp.asarray(vb), np.eye(3, dtype=np.float32),
+                             np.array([0, 0, 0.6], np.float32),
+                             jnp.asarray(CAM_K))
+    small = rasterize_pallas_binned(uv, z, fb, vb, 480, 640,
+                                    interpret=True)
+    assert int(small.overflow) > 0
+
+    big = rasterize_pallas_binned(uv, z, fb, vb, 480, 640,
+                                  pair_factor=160, interpret=True)
+    assert int(big.overflow) == 0
+    ref = rasterize_pallas(uv, z, fb, vb, 480, 640, interpret=True)
+    assert int(ref.overflow) == 0
+    np.testing.assert_array_equal(np.asarray(big.mask),
+                                  np.asarray(ref.mask))
+    np.testing.assert_array_equal(np.asarray(big.depth),
+                                  np.asarray(ref.depth))

@@ -67,6 +67,26 @@ def test_assign_forces_best_anchor_for_small_gt():
     assert int(np.asarray(pos).sum()) == 1
 
 
+def test_assign_forcing_collisions_deterministic():
+    """Two valid GTs sharing one best anchor resolve to the LOWER gt
+    index; an invalid GT's degenerate argmax (anchor 0) must not corrupt
+    anchor 0's assignment."""
+    anchors = jnp.asarray(anchor_boxes(128))
+    # identical tiny boxes -> identical iou rows -> same best anchor
+    box = [60.0, 60.0, 70.0, 70.0]
+    gt = jnp.asarray([box, box, [0.0, 0.0, 0.0, 0.0]])
+    gt_cls = jnp.array([3, 4, -1], jnp.int32)
+    gt_valid = jnp.array([True, True, False])
+    cls_idx, box_t, pos, ignore = assign_anchors(anchors, gt, gt_cls,
+                                                 gt_valid)
+    from pix2pose_tpu.models.retinanet import iou_matrix
+    iou = np.asarray(iou_matrix(anchors, gt))[:, 0]
+    forced = int(np.argmax(iou))
+    assert bool(pos[forced]) and int(cls_idx[forced]) == 3  # gt 0 wins
+    # anchor 0 untouched by the invalid GT: positive only if it earned it
+    assert not bool(pos[0])
+
+
 def test_encode_decode_roundtrip():
     rng = np.random.RandomState(0)
     anchors = jnp.asarray(anchor_boxes(128)[::97])  # subsample

@@ -221,3 +221,37 @@ def test_server_depth_protocol(depth_service):
         c.close()
     finally:
         server.close()
+
+
+def test_frontend_groups_mixed_resolutions():
+    """Clients streaming different frame shapes must never share one
+    dispatch (process_many stacks frames into a single array)."""
+
+    class ShapeRecorder:
+        def __init__(self):
+            self.shapes = []
+
+        def process_many(self, rgbs, depths=None, want_images=False):
+            assert len({r.shape for r in rgbs}) == 1
+            self.shapes.append([r.shape for r in rgbs])
+            time.sleep(0.1)
+            return list(range(len(rgbs)))
+
+    fake = ShapeRecorder()
+    fe = BatchingFrontend(fake, max_batch=8)
+    try:
+        outs = []
+        shapes = [(8, 8, 3), (4, 4, 3), (8, 8, 3), (4, 4, 3), (8, 8, 3)]
+        threads = [threading.Thread(
+            target=lambda s=s: outs.append(fe.submit(np.zeros(s))))
+            for s in shapes]
+        threads[0].start()
+        time.sleep(0.03)  # first dispatch in flight; rest queue up mixed
+        for t in threads[1:]:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(outs) == 5
+        assert sum(len(c) for c in fake.shapes) == 5
+    finally:
+        fe.close()
