@@ -17,15 +17,17 @@ implement the BOP'19 protocol natively:
 - Plus classic ADD / ADD-S for LineMOD-style reporting.
 
 Distance kernels are jitted/vmapped over the symmetry pool; the matching
-harness (greedy by score against GT instances, top-n per target) runs on
-host.
-
-Known approximation vs bop_toolkit: estimate-to-GT matching here is
-threshold-independent (each estimate greedily takes its min-error GT,
-ranked by mssd first), whereas bop_toolkit re-matches greedily per error
-threshold and per metric. In multi-instance scenes this can shift AR by a
-small amount relative to official scoring; single-instance targets are
-unaffected.
+harness runs on host and follows bop_toolkit exactly
+(``score.py:match_poses`` + ``calc_localization_scores``): estimates are
+sorted by score and capped at the instance count (top-n), errors are
+computed for every (estimate, GT) pair, and matching is re-done GREEDILY
+PER CORRECTNESS THRESHOLD — for each threshold (and each VSD tau),
+estimates in score order each take the not-yet-matched GT with the
+smallest error strictly below the threshold. Recall(threshold) is
+per-object micro (correct/targets across the dataset); the reported
+per-metric AR is the mean over thresholds of the mean over objects
+(bop_toolkit's ``mean_obj_recall``), and AR is the mean of the three
+per-metric ARs (BOP'19).
 """
 
 from __future__ import annotations
@@ -167,6 +169,22 @@ def _subsample_idx(n, target):
     return np.linspace(0, n - 1, target).astype(np.int64)
 
 
+def _greedy_match_count(err: np.ndarray, th: float) -> int:
+    """bop_toolkit ``score.match_poses`` for one threshold: walk
+    estimates in score order (rows of ``err`` are pre-sorted by score),
+    each taking the not-yet-matched GT with the smallest error strictly
+    below ``th``. Returns the number of matches (= correct poses)."""
+    taken = np.zeros(err.shape[1], bool)
+    n = 0
+    for ei in range(err.shape[0]):
+        row = np.where(taken, np.inf, err[ei])
+        gi = int(np.argmin(row))
+        if row[gi] < th:
+            taken[gi] = True
+            n += 1
+    return n
+
+
 def evaluate_bop(results, dataset, target_list=None, metrics=("vsd",
                                                               "mssd",
                                                               "mspd"),
@@ -212,9 +230,15 @@ def evaluate_bop(results, dataset, target_list=None, metrics=("vsd",
             vsd_fns[obj_id] = make_vsd(m["pts"], m["faces"], im_h, im_w)
         return meshes[obj_id]
 
-    # per-(image, object): greedy match estimates to GT instances
-    recalls = {m: [] for m in metrics}
-    per_obj = defaultdict(lambda: {m: [] for m in metrics})
+    # bop_toolkit-style accumulators: per (object, metric) the correct
+    # count PER THRESHOLD COMBO and the target count (same for every
+    # combo of a metric). Combos: mssd/mspd -> 10 thetas; vsd -> 100
+    # (tau, theta) pairs.
+    n_combo = {"mssd": len(_THETAS), "mspd": len(_MSPD_R),
+               "vsd": len(_TAU_FRACS) * len(_THETAS)}
+    correct = defaultdict(
+        lambda: {m: np.zeros(n_combo[m], np.int64) for m in metrics})
+    totals = defaultdict(int)
 
     if target_list is None:
         target_list = []
@@ -250,28 +274,36 @@ def evaluate_bop(results, dataset, target_list=None, metrics=("vsd",
             pts_sub, pts_full, faces = get_mesh(obj_id)
             pool = sym_pools[obj_id]
             diam = diams[obj_id]
-            matched = set()
-            err_rows = {m: [] for m in metrics}
-            for est in est_list:
-                best = None
+            n_gt, n_est = len(gt_list), len(est_list)
+            totals[obj_id] += n_gt
+            if n_gt == 0 or n_est == 0:
+                continue
+
+            # error tensors over ALL (estimate, GT) pairs — matching is
+            # threshold-dependent, so no pair can be skipped up front
+            E = {}
+            if "mssd" in metrics:
+                E["mssd"] = np.full((n_est, n_gt), np.inf)
+            if "mspd" in metrics:
+                E["mspd"] = np.full((n_est, n_gt), np.inf)
+            if "vsd" in metrics:
+                E["vsd"] = np.full((n_est, n_gt, len(_TAU_FRACS)), np.inf)
+                taus = jnp.asarray(_TAU_FRACS * diam, jnp.float32)
+            for ei, est in enumerate(est_list):
                 for gi, gt in enumerate(gt_list):
-                    if gi in matched:
-                        continue
-                    e = {}
                     if "mssd" in metrics:
-                        e["mssd"] = float(mssd_metric(
+                        E["mssd"][ei, gi] = float(mssd_metric(
                             pts_sub, pool, est["R"], est["t"], gt["R"],
                             gt["t"]))
                     if "mspd" in metrics:
-                        e["mspd"] = float(mspd_metric(
+                        E["mspd"][ei, gi] = float(mspd_metric(
                             pts_sub, pool, cam_k, est["R"], est["t"],
                             gt["R"], gt["t"]))
                     if "vsd" in metrics:
-                        taus = jnp.asarray(_TAU_FRACS * diam, jnp.float32)
                         vsd_err, vsd_ovf = vsd_fns[obj_id](
                             est["R"], est["t"], gt["R"], gt["t"], cam_k,
                             depth_scene, taus)
-                        e["vsd"] = np.asarray(vsd_err)
+                        E["vsd"][ei, gi] = np.asarray(vsd_err)
                         if int(vsd_ovf):
                             import warnings
                             warnings.warn(
@@ -279,44 +311,46 @@ def evaluate_bop(results, dataset, target_list=None, metrics=("vsd",
                                 f"({int(vsd_ovf)} dropped rasterizer "
                                 "work pairs) — raise pair_factor or "
                                 "decimate the mesh", RuntimeWarning)
-                    rank = e.get("mssd", e.get("mspd",
-                                 float(np.mean(e.get("vsd", [1.0])))))
-                    if best is None or rank < best[1]:
-                        best = (gi, rank, e)
-                if best is not None:
-                    matched.add(best[0])
-                    for m in metrics:
-                        err_rows[m].append(best[2][m])
-            n_missed = len(gt_list) - len(err_rows[metrics[0]])
-            for m in metrics:
-                if m == "vsd":
-                    ths = _THETAS
-                    for err in err_rows[m]:
-                        rec = np.mean(err[None, :] < ths[:, None])
-                        recalls[m].append(rec)
-                        per_obj[obj_id][m].append(rec)
-                elif m == "mssd":
-                    ths = _THETAS * diam
-                    for err in err_rows[m]:
-                        rec = np.mean(err < ths)
-                        recalls[m].append(rec)
-                        per_obj[obj_id][m].append(rec)
-                elif m == "mspd":
-                    ths = _MSPD_R * r_px
-                    for err in err_rows[m]:
-                        rec = np.mean(err < ths)
-                        recalls[m].append(rec)
-                        per_obj[obj_id][m].append(rec)
-                recalls[m].extend([0.0] * n_missed)
-                per_obj[obj_id][m].extend([0.0] * n_missed)
 
+            # per-threshold greedy matching (bop_toolkit
+            # ``score.match_poses``): estimates in score order, each
+            # takes the unmatched GT with the smallest error strictly
+            # below the threshold
+            if "mssd" in metrics:
+                for k, th in enumerate(_THETAS * diam):
+                    correct[obj_id]["mssd"][k] += _greedy_match_count(
+                        E["mssd"], th)
+            if "mspd" in metrics:
+                for k, th in enumerate(_MSPD_R * r_px):
+                    correct[obj_id]["mspd"][k] += _greedy_match_count(
+                        E["mspd"], th)
+            if "vsd" in metrics:
+                k = 0
+                for ti in range(len(_TAU_FRACS)):
+                    ev = E["vsd"][:, :, ti]
+                    for th in _THETAS:
+                        correct[obj_id]["vsd"][k] += \
+                            _greedy_match_count(ev, th)
+                        k += 1
+
+    # per-object recall per threshold combo -> mean over combos; the
+    # per-metric AR is the mean over objects (bop_toolkit
+    # ``mean_obj_recall``) averaged over combos
+    obj_ids_seen = [o for o in totals if totals[o] > 0]
     out = {}
+    per_object = {}
+    for o in obj_ids_seen:
+        per_object[o] = {
+            m: float(np.mean(correct[o][m] / totals[o])) for m in metrics}
     for m in metrics:
-        out[f"AR_{m}"] = float(np.mean(recalls[m])) if recalls[m] else 0.0
+        if obj_ids_seen:
+            combo_recall = np.mean(
+                [correct[o][m] / totals[o] for o in obj_ids_seen], axis=0)
+            out[f"AR_{m}"] = float(np.mean(combo_recall))
+        else:
+            out[f"AR_{m}"] = 0.0
     out["AR"] = float(np.mean([out[f"AR_{m}"] for m in metrics]))
-    out["per_object"] = {
-        o: {m: float(np.mean(v[m])) for m in metrics}
-        for o, v in per_obj.items()}
+    out["per_object"] = per_object
     return out
 
 

@@ -1,6 +1,8 @@
 """BOP metrics: analytic sanity (zero error at GT, symmetry invariance,
 threshold behavior) and AR harness on the cube dataset."""
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -143,3 +145,59 @@ def test_ar_harness_on_cube_dataset(tmp_path):
     # ADD recall
     assert metrics.add_recall(perfect, ds) == 1.0
     assert metrics.add_recall(bad, ds) == 0.0
+
+
+def test_greedy_match_count_threshold_dependence():
+    """Exactly bop_toolkit's per-threshold greedy matching: when the
+    higher-scored estimate fails its best GT at a tight threshold, the GT
+    stays available for a later estimate."""
+    E = np.array([[10.0, 40.0],
+                  [5.0, 60.0]])
+    # theta = 7: est 0 matches nothing (10 >= 7), est 1 takes gt 0
+    assert metrics._greedy_match_count(E, 7.0) == 1
+    # theta = 15: est 0 takes gt 0 (10), est 1's best free err 60 fails
+    assert metrics._greedy_match_count(E, 15.0) == 1
+    # theta = 100: both match
+    assert metrics._greedy_match_count(E, 100.0) == 2
+    # strict inequality like bop_toolkit (error < th)
+    assert metrics._greedy_match_count(E, 10.0) == 1
+
+
+def test_evaluate_bop_per_threshold_rematching(tmp_path):
+    """Hand-built duplicate-instance image where threshold-independent
+    matching (the old approximation) provably diverges from bop_toolkit:
+    the exact protocol recovers one pose at EVERY theta (AR_mssd = 0.5),
+    the approximation lost the tightest theta (0.45)."""
+    import json as _json
+
+    from pix2pose_tpu.data.bop import BopDataset
+
+    root = str(tmp_path)
+    build_cube_dataset(root, n_scenes=1, ims_per_scene=1)
+    ds_dir = os.path.join(root, "cubes")
+    # second GT instance: same R, +200mm in x
+    gt_path = os.path.join(ds_dir, "test", "000000", "scene_gt.json")
+    gt = _json.load(open(gt_path))
+    R = np.asarray(gt["0"][0]["cam_R_m2c"], np.float32).reshape(3, 3)
+    t1 = np.asarray(gt["0"][0]["cam_t_m2c"], np.float32)
+    t2 = t1 + np.array([200.0, 0.0, 0.0], np.float32)
+    gt["0"].append({"obj_id": 1, "cam_R_m2c": R.reshape(-1).tolist(),
+                    "cam_t_m2c": t2.tolist()})
+    _json.dump(gt, open(gt_path, "w"))
+
+    ds = BopDataset(root, "cubes", train=False)
+    diam = float(ds.model_info(1)["diameter"])  # ~138.6
+    th1 = 0.05 * diam  # tightest theta ~6.9mm
+    # e1 (top score): 10mm off g1 — above th1, below every other theta
+    # e2: 5mm off g1 — below th1, but g1 is only free for it at th1
+    assert 5.0 < th1 < 10.0
+    results = [
+        {"scene_id": 0, "im_id": 0, "obj_id": 1, "score": 0.9,
+         "R": R, "t": t1 + np.array([10.0, 0, 0], np.float32)},
+        {"scene_id": 0, "im_id": 0, "obj_id": 1, "score": 0.8,
+         "R": R, "t": t1 + np.array([5.0, 0, 0], np.float32)},
+    ]
+    out = metrics.evaluate_bop(
+        results, ds, target_list=[(0, 0, [1], [2])], metrics=("mssd",))
+    assert abs(out["AR_mssd"] - 0.5) < 1e-6
+    assert abs(out["per_object"][1]["mssd"] - 0.5) < 1e-6
