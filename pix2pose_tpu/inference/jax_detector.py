@@ -15,8 +15,11 @@ from pix2pose_tpu.models.detector import (CenterNetDetector,
 
 class JaxDetector:
     """Runs the jitted detector and emits :class:`Detection` records with
-    box-cropped semantic masks (the Mask-RCNN-mask stand-in for
-    score_type 2).
+    PER-INSTANCE masks from the CondInst dynamic mask head — the contract
+    of the reference's Mask-RCNN (``tools/mask_rcnn_util.py:67-133``):
+    two overlapping same-class instances get distinct masks, which the
+    score_type-2 mask-IoU term and the ICP evaluator's occupancy gating
+    depend on.
 
     The frame is anisotropically resized to the square training resolution
     (the on-device scene composer trains on fully-covered square images, so
@@ -35,9 +38,7 @@ class JaxDetector:
 
         def _run(variables, img):
             out = model.apply(variables, img[None])
-            det = decode_detections(out, top_k=top_k)
-            seg = jax.nn.sigmoid(out.seg)
-            return det, seg
+            return decode_detections(out, top_k=top_k, with_masks=True)
 
         self._run = jax.jit(_run)
 
@@ -46,9 +47,7 @@ class JaxDetector:
         s = self.input_size
         img = jnp.asarray(rgb, jnp.float32) / 255.0
         img = jax.image.resize(img, (s, s, 3), method="linear")
-        det, seg = self._run(self.variables, img)
-        det = jax.device_get(det)
-        seg = np.asarray(seg[0])  # (s/4, s/4, C)
+        det = jax.device_get(self._run(self.variables, img))
         sv = h / s  # square px -> image px
         su = w / s
         out = []
@@ -66,9 +65,9 @@ class JaxDetector:
             if bbox[2] - bbox[0] < 4 or bbox[3] - bbox[1] < 4:
                 continue
             cls = int(det.cls[0, i])
-            # semantic mask covers the whole (stretched) frame; resize back
+            # this instance's stride-grid mask, resized to the frame
             m_res = np.asarray(Image.fromarray(
-                (seg[..., cls] * 255).astype(np.uint8)).resize(
+                np.asarray(det.mask[0, i]).astype(np.uint8) * 255).resize(
                 (w, h), Image.BILINEAR)) > 127
             box_m = np.zeros((h, w), bool)
             box_m[bbox[0]:bbox[2] + 1, bbox[1]:bbox[3] + 1] = True

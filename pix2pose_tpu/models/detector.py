@@ -2,17 +2,26 @@
 external Mask-RCNN / keras-retinanet, ``5_evaluation_bop_basic.py:37-101``).
 
 A center-point detector on the shared ResNet-50 trunk: FPN-lite fusion of
-the stage taps to stride 4, then four dense heads:
+the stage taps to stride 4, then dense heads:
 
   - ``heat``: per-class center heatmap (focal loss)
   - ``wh``:   box height/width at centers (L1)
   - ``off``:  sub-stride center offset (L1)
-  - ``seg``:  per-class semantic mask logits (BCE) — box-cropped at
-              inference to stand in for Mask-RCNN instance masks in the
-              score_type-2 mask-IoU term (``basic:307-316``)
+  - ``seg``:  per-class semantic mask logits (BCE, auxiliary supervision)
+  - ``ctrl``/``mfeat``: per-pixel dynamic-conv weights + shared mask
+    features for PER-INSTANCE masks (CondInst-style): each center peak's
+    ctrl vector parameterizes a tiny 3-layer 1x1-conv FCN evaluated over
+    ``mfeat`` plus peak-relative coordinates. This supplies true instance
+    masks — the contract of the reference's Mask-RCNN
+    (``tools/mask_rcnn_util.py:67-133``), consumed by score_type-2
+    mask-IoU (``5_evaluation_bop_basic.py:307-316``) and the ICP
+    evaluator's occupancy gating/unions
+    (``5_evaluation_bop_icp3d.py:392-433``) — two overlapping same-class
+    instances get distinct masks, which a semantic seg head cannot do.
 
 Decoding is shape-static: 3x3 max-pool NMS on the heatmap, global top-k
-peaks, vectorized box/mask assembly — no dynamic shapes, so detection jits
+peaks, vectorized box/mask assembly; the dynamic mask FCN is three
+einsums over (K, hs*ws, C) — no dynamic shapes, so detection jits
 end-to-end and batches across images.
 """
 
@@ -27,11 +36,20 @@ import jax.numpy as jnp
 from pix2pose_tpu.models.resnet50 import ResNet50Trunk
 
 
+MASK_DIM = 8        # channels of the shared mask-feature map
+_CTRL_IN = MASK_DIM + 2  # + 2 peak-relative coordinate channels
+# dynamic FCN: (in->8) + (8->8) + (8->1), weights+biases flattened
+N_CTRL = (_CTRL_IN * 8 + 8) + (8 * 8 + 8) + (8 * 1 + 1)
+REL_NORM = 16.0     # stride-grid units; ~64 px at stride 4
+
+
 class DetectorOut(NamedTuple):
     heat: jnp.ndarray  # (B, H/4, W/4, C) logits
     wh: jnp.ndarray    # (B, H/4, W/4, 2)
     off: jnp.ndarray   # (B, H/4, W/4, 2)
     seg: jnp.ndarray   # (B, H/4, W/4, C) logits
+    ctrl: jnp.ndarray  # (B, H/4, W/4, N_CTRL) dynamic mask-FCN params
+    mfeat: jnp.ndarray  # (B, H/4, W/4, MASK_DIM) shared mask features
 
 
 class TinyTrunk(nn.Module):
@@ -99,7 +117,56 @@ class CenterNetDetector(nn.Module):
             wh=head("wh", 2),
             off=head("off", 2),
             seg=head("seg", self.num_classes, bias_init=-2.19),
+            ctrl=head("ctrl", N_CTRL),
+            mfeat=head("mfeat", MASK_DIM),
         )
+
+
+def _split_ctrl(ctrl):
+    """Flat (N_CTRL,) vector -> dynamic FCN weight/bias pytree."""
+    i = 0
+
+    def take(n, shape):
+        nonlocal i
+        out = ctrl[i:i + n].reshape(shape)
+        i += n
+        return out
+
+    w1 = take(_CTRL_IN * 8, (_CTRL_IN, 8))
+    b1 = take(8, (8,))
+    w2 = take(8 * 8, (8, 8))
+    b2 = take(8, (8,))
+    w3 = take(8, (8, 1))
+    b3 = take(1, (1,))
+    return (w1, b1), (w2, b2), (w3, b3)
+
+
+def dynamic_mask_logits(mfeat, ctrl_vec, center_vu):
+    """One instance's mask logits over the stride grid.
+
+    Args:
+      mfeat: (hs, ws, MASK_DIM) shared mask features.
+      ctrl_vec: (N_CTRL,) controller gathered at the instance's peak.
+      center_vu: (2,) peak (v, u) in stride-grid coords.
+
+    The conditional mask FCN of CondInst (Tian et al. 2020): inputs are
+    the shared features concatenated with peak-relative coordinates, so
+    one shared feature map yields DISTINCT masks per instance. Three
+    1x1 conv layers == three small matmuls — MXU-shaped, vmappable over
+    (B, K) with zero dynamic shapes.
+    """
+    hs, ws, _ = mfeat.shape
+    vv = (jnp.arange(hs, dtype=jnp.float32)[:, None] - center_vu[0]) \
+        / REL_NORM
+    uu = (jnp.arange(ws, dtype=jnp.float32)[None, :] - center_vu[1]) \
+        / REL_NORM
+    rel = jnp.stack([jnp.broadcast_to(vv, (hs, ws)),
+                     jnp.broadcast_to(uu, (hs, ws))], axis=-1)
+    x = jnp.concatenate([mfeat, rel], axis=-1)  # (hs, ws, _CTRL_IN)
+    (w1, b1), (w2, b2), (w3, b3) = _split_ctrl(ctrl_vec)
+    x = jax.nn.relu(x @ w1 + b1)
+    x = jax.nn.relu(x @ w2 + b2)
+    return (x @ w3 + b3)[..., 0]  # (hs, ws)
 
 
 class Detections(NamedTuple):
@@ -109,11 +176,14 @@ class Detections(NamedTuple):
     score: jnp.ndarray   # (B, K)
     cls: jnp.ndarray     # (B, K) class index (0-based)
     center: jnp.ndarray  # (B, K, 2) (v, u)
+    mask: jnp.ndarray | None = None  # (B, K, H/4, W/4) bool instance masks
 
 
 def decode_detections(out: DetectorOut, top_k: int = 32,
-                      stride: int = 4) -> Detections:
-    """Heatmap peaks -> boxes, shape-static (CenterNet decode)."""
+                      stride: int = 4,
+                      with_masks: bool = True) -> Detections:
+    """Heatmap peaks -> boxes (+ per-instance masks), shape-static
+    (CenterNet decode + CondInst dynamic mask FCN per peak)."""
     heat = jax.nn.sigmoid(out.heat)
     # 3x3 max-pool NMS
     pooled = nn.max_pool(heat, (3, 3), strides=(1, 1), padding="SAME")
@@ -139,8 +209,25 @@ def decode_detections(out: DetectorOut, top_k: int = 32,
     ww = jnp.maximum(wh[..., 1], 0.0) * stride
     bbox = jnp.stack([cv - hh / 2, cu - ww / 2, cv + hh / 2, cu + ww / 2],
                      axis=-1)
+    masks = None
+    if with_masks:
+        ctrl = gather_hw(out.ctrl, pix)  # (B,K,N_CTRL)
+        grid_center = jnp.stack([pv + off[..., 0], pu + off[..., 1]],
+                                axis=-1)  # (B,K,2) stride-grid coords
+        logits = jax.vmap(  # over batch
+            jax.vmap(dynamic_mask_logits, in_axes=(None, 0, 0))
+        )(out.mfeat, ctrl, grid_center)  # (B,K,hs,ws)
+        # clip to the predicted box (Mask-RCNN semantics: mask lives
+        # inside its box)
+        gv = jnp.arange(h, dtype=jnp.float32) * stride
+        gu = jnp.arange(w, dtype=jnp.float32) * stride
+        in_box = ((gv[None, None, :, None] >= bbox[..., 0, None, None])
+                  & (gv[None, None, :, None] <= bbox[..., 2, None, None])
+                  & (gu[None, None, None, :] >= bbox[..., 1, None, None])
+                  & (gu[None, None, None, :] <= bbox[..., 3, None, None]))
+        masks = (logits > 0.0) & in_box
     return Detections(bbox=bbox, score=score, cls=cls,
-                      center=jnp.stack([cv, cu], axis=-1))
+                      center=jnp.stack([cv, cu], axis=-1), mask=masks)
 
 
 def focal_loss(heat_logits, heat_gt, alpha: float = 2.0,
@@ -160,12 +247,44 @@ def focal_loss(heat_logits, heat_gt, alpha: float = 2.0,
     return (jnp.sum(pos_loss) + jnp.sum(neg_loss)) / n_pos
 
 
+def instance_mask_loss(out: DetectorOut, gt_center, gt_mask, gt_valid):
+    """Dice loss of the dynamic mask FCN at GT centers (CondInst
+    training: controller gathered at each instance's center location,
+    target = that instance's VISIBLE mask).
+
+    Args: gt_center (B,K,2) float stride-grid centers; gt_mask
+    (B,K,hs,ws) in {0,1}; gt_valid (B,K) bool.
+    """
+    b, hs, ws, _ = out.mfeat.shape
+
+    def one(mfeat, ctrl_map, centers, masks, valid):
+        ci = jnp.clip(jnp.round(centers[:, 0]).astype(jnp.int32), 0,
+                      hs - 1)
+        cj = jnp.clip(jnp.round(centers[:, 1]).astype(jnp.int32), 0,
+                      ws - 1)
+        ctrl = ctrl_map[ci, cj]  # (K, N_CTRL)
+        logits = jax.vmap(dynamic_mask_logits,
+                          in_axes=(None, 0, 0))(mfeat, ctrl, centers)
+        p = jax.nn.sigmoid(logits)
+        inter = jnp.sum(p * masks, axis=(1, 2))
+        denom = jnp.sum(p * p, axis=(1, 2)) + jnp.sum(
+            masks * masks, axis=(1, 2))
+        dice = 1.0 - 2.0 * inter / jnp.maximum(denom, 1e-6)
+        return jnp.sum(jnp.where(valid, dice, 0.0)), jnp.sum(valid)
+
+    loss, n = jax.vmap(one)(out.mfeat, out.ctrl, gt_center, gt_mask,
+                            gt_valid)
+    return jnp.sum(loss) / jnp.maximum(jnp.sum(n), 1.0)
+
+
 def detector_loss(out: DetectorOut, targets: dict,
                   w_heat: float = 1.0, w_wh: float = 0.1,
-                  w_off: float = 1.0, w_seg: float = 1.0):
+                  w_off: float = 1.0, w_seg: float = 1.0,
+                  w_mask: float = 1.0):
     """Total loss. targets: ``heat`` (B,h,w,C) gaussian, ``wh`` (B,h,w,2),
     ``off`` (B,h,w,2), ``reg_mask`` (B,h,w) 1 at centers, ``seg`` (B,h,w,C)
-    binary."""
+    binary; optionally ``gt_center``/``gt_mask``/``gt_valid`` for the
+    per-instance mask head (see :func:`instance_mask_loss`)."""
     l_heat = focal_loss(out.heat, targets["heat"])
     m = targets["reg_mask"][..., None]
     n_pos = jnp.maximum(jnp.sum(targets["reg_mask"]), 1.0)
@@ -177,4 +296,11 @@ def detector_loss(out: DetectorOut, targets: dict,
         + jnp.log1p(jnp.exp(-jnp.abs(out.seg))))
     total = (w_heat * l_heat + w_wh * l_wh + w_off * l_off
              + w_seg * l_seg)
-    return total, {"heat": l_heat, "wh": l_wh, "off": l_off, "seg": l_seg}
+    parts = {"heat": l_heat, "wh": l_wh, "off": l_off, "seg": l_seg}
+    if "gt_mask" in targets:
+        l_mask = instance_mask_loss(out, targets["gt_center"],
+                                    targets["gt_mask"],
+                                    targets["gt_valid"])
+        total = total + w_mask * l_mask
+        parts["mask"] = l_mask
+    return total, parts

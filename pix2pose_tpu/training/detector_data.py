@@ -229,11 +229,18 @@ def make_detector_batch(store: DetectorStore, key, batch_size: int = 8,
         gt_bbox = jnp.stack([vmin, umin, vmax + 1.0, umax + 1.0],
                             axis=-1)
         gt_bbox = jnp.where(valid_gt[:, None], gt_bbox, 0.0)
-        return (img, heat, wh, off, reg, seg, gt_bbox, labels, valid_gt)
+        # per-INSTANCE visible masks + stride-grid centers for the
+        # CondInst mask head (instance_mask_loss) — the semantic ``seg``
+        # target cannot separate overlapping same-class instances
+        gt_mask = vis_s * valid_gt[:, None, None].astype(jnp.float32)
+        gt_center = jnp.stack([cv, cu], axis=-1)  # (K, 2) grid coords
+        return (img, heat, wh, off, reg, seg, gt_bbox, labels, valid_gt,
+                gt_mask, gt_center)
 
     keys = jax.random.split(key, batch_size)
-    (img, heat, wh, off, reg, seg, gt_bbox, gt_cls,
-     gt_valid) = jax.vmap(one_scene)(keys)
+    (img, heat, wh, off, reg, seg, gt_bbox, gt_cls, gt_valid, gt_mask,
+     gt_center) = jax.vmap(one_scene)(keys)
     return {"image": img, "heat": heat, "wh": wh, "off": off,
             "reg_mask": reg, "seg": seg, "gt_bbox": gt_bbox,
-            "gt_cls": gt_cls, "gt_valid": gt_valid}
+            "gt_cls": gt_cls, "gt_valid": gt_valid, "gt_mask": gt_mask,
+            "gt_center": gt_center}

@@ -22,6 +22,9 @@ def test_model_shapes():
     assert out.wh.shape == (1, 64, 64, 2)
     assert out.off.shape == (1, 64, 64, 2)
     assert out.seg.shape == (1, 64, 64, 3)
+    from pix2pose_tpu.models.detector import MASK_DIM, N_CTRL
+    assert out.ctrl.shape == (1, 64, 64, N_CTRL)
+    assert out.mfeat.shape == (1, 64, 64, MASK_DIM)
 
 
 def test_decode_handcrafted_peaks():
@@ -34,9 +37,12 @@ def test_decode_handcrafted_peaks():
     wh[0, 40, 50] = [10.0, 4.0]
     off = np.zeros((1, h, w, 2), np.float32)
     off[0, 10, 20] = [0.5, 0.25]
+    from pix2pose_tpu.models.detector import MASK_DIM, N_CTRL
     out = DetectorOut(heat=jnp.asarray(heat), wh=jnp.asarray(wh),
                       off=jnp.asarray(off),
-                      seg=jnp.zeros((1, h, w, 2)))
+                      seg=jnp.zeros((1, h, w, 2)),
+                      ctrl=jnp.zeros((1, h, w, N_CTRL)),
+                      mfeat=jnp.zeros((1, h, w, MASK_DIM)))
     det = decode_detections(out, top_k=4)
     assert float(det.score[0, 0]) > 0.99
     assert int(det.cls[0, 0]) == 0
@@ -121,3 +127,56 @@ def test_detector_train_step_decreases_loss():
         losses.append(float(parts["total"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_instance_masks_distinct_per_peak():
+    """Two same-class peaks sharing ONE controller vector still decode to
+    DISJOINT masks because the dynamic FCN sees peak-relative
+    coordinates — the property semantic segmentation cannot provide
+    (reference contract: per-instance Mask-RCNN masks,
+    ``mask_rcnn_util.py:67-133``)."""
+    from pix2pose_tpu.models.detector import (MASK_DIM, N_CTRL, REL_NORM,
+                                              _split_ctrl)
+
+    h = w = 64
+    heat = np.full((1, h, w, 1), -8.0, np.float32)
+    heat[0, 16, 16, 0] = 8.0
+    heat[0, 40, 44, 0] = 7.0
+    wh = np.zeros((1, h, w, 2), np.float32)
+    wh[0, 16, 16] = wh[0, 40, 44] = [12.0, 12.0]
+    off = np.zeros((1, h, w, 2), np.float32)
+
+    # handcraft ctrl: logit = 0.5 - (|rel_v| + |rel_u|) -> a diamond of
+    # radius 0.5*REL_NORM grid px around each peak
+    ctrl = np.zeros(N_CTRL, np.float32)
+    (w1, b1), (w2, b2), (w3, b3) = _split_ctrl(jnp.zeros(N_CTRL))
+    c = np.zeros(N_CTRL, np.float32)
+    i_w1 = 0
+    W1 = np.zeros((MASK_DIM + 2, 8), np.float32)
+    W1[MASK_DIM, 0] = 1.0    # +rel_v
+    W1[MASK_DIM, 1] = -1.0   # -rel_v
+    W1[MASK_DIM + 1, 2] = 1.0
+    W1[MASK_DIM + 1, 3] = -1.0
+    c[:W1.size] = W1.reshape(-1)
+    i = W1.size + 8  # skip b1
+    W2 = np.eye(8, dtype=np.float32)
+    c[i:i + 64] = W2.reshape(-1)
+    i += 64 + 8  # skip b2
+    W3 = np.array([-1, -1, -1, -1, 0, 0, 0, 0], np.float32)
+    c[i:i + 8] = W3
+    i += 8
+    c[i] = 0.5  # b3
+    ctrl_map = np.broadcast_to(c, (1, h, w, N_CTRL))
+
+    out = DetectorOut(heat=jnp.asarray(heat), wh=jnp.asarray(wh),
+                      off=jnp.asarray(off),
+                      seg=jnp.zeros((1, h, w, 1)),
+                      ctrl=jnp.asarray(ctrl_map),
+                      mfeat=jnp.zeros((1, h, w, MASK_DIM)))
+    det = decode_detections(out, top_k=2)
+    m0 = np.asarray(det.mask[0, 0])
+    m1 = np.asarray(det.mask[0, 1])
+    assert m0.sum() > 20 and m1.sum() > 20
+    assert not (m0 & m1).any()  # disjoint
+    assert m0[16, 16] and not m0[40, 44]
+    assert m1[40, 44] and not m1[16, 16]

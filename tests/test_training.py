@@ -133,3 +133,79 @@ def test_trained_detector_reaches_map_floor():
         im_size=192, k_obj=4, batch_size=4)
     res = evaluate_detections(preds, gts)
     assert res["mAP50"] >= 0.15, res
+
+
+def test_trained_instance_masks_separate_same_class_overlaps():
+    """Slow: train the CenterNet (tiny trunk) on 1-class blob scenes with
+    heavy same-class overlap, then assert the CondInst mask head emits
+    per-INSTANCE masks: each detection's mask tracks ITS OWN GT instance,
+    not the class union (VERDICT r2 missing #2; reference contract =
+    Mask-RCNN instance masks, ``mask_rcnn_util.py:67-133``)."""
+    from test_detector import _toy_store
+    from pix2pose_tpu.models.detector import (CenterNetDetector,
+                                              decode_detections)
+    from pix2pose_tpu.training.detector_train import (
+        create_detector_state, make_detector_step)
+    from pix2pose_tpu.training.detector_data import make_detector_batch
+    from pix2pose_tpu.eval.detection_metrics import box_iou_matrix
+
+    store = _toy_store(np.random.RandomState(3), n_classes=1, n_per=6)
+    model = CenterNetDetector(num_classes=1, head_dim=64, trunk="tiny")
+    state = create_detector_state(jax.random.PRNGKey(0), model, 128)
+    raw = make_detector_step(model)
+
+    @jax.jit
+    def step_fn(state, store, key, lr):
+        return raw(state, make_detector_batch(store, key, 4, 128, 3), lr)
+
+    key = jax.random.PRNGKey(1)
+    for i in range(400):
+        key, kb = jax.random.split(key)
+        state, parts = step_fn(state, store, kb,
+                               2e-3 * min(1.0, (i + 1) / 50))
+    assert np.isfinite(float(parts["total"]))
+    variables = {"params": state.params, "batch_stats": state.stats}
+
+    batch = make_detector_batch(store, jax.random.PRNGKey(123),
+                                batch_size=8, im_size=128, k_obj=3)
+    out = model.apply(variables, batch["image"])
+    det = jax.device_get(decode_detections(out, top_k=4))
+    gt_bbox = np.asarray(batch["gt_bbox"])
+    gt_valid = np.asarray(batch["gt_valid"])
+    gt_mask = np.asarray(batch["gt_mask"])  # (B,K,hs,hs) stride-4
+
+    checked_pairs = 0
+    own_ious, cross_ious = [], []
+    for b in range(8):
+        gv = np.where(gt_valid[b])[0]
+        if len(gv) < 2:
+            continue
+        keep = det.score[b] > 0.3
+        if keep.sum() < 2:
+            continue
+        dmask = det.mask[b]  # (K, hs, hs)
+        dbox = det.bbox[b]
+        iou = box_iou_matrix(dbox[keep], gt_bbox[b][gv])
+        for di, dk in enumerate(np.where(keep)[0]):
+            gi = int(np.argmax(iou[di]))
+            if iou[di, gi] < 0.35:
+                continue
+            own = gt_mask[b, gv[gi]] > 0.5
+            others = [gt_mask[b, g] > 0.5 for j, g in enumerate(gv)
+                      if j != gi]
+            dm = dmask[dk]
+
+            def miou(a, bb):
+                u = (a | bb).sum()
+                return (a & bb).sum() / max(u, 1)
+
+            own_ious.append(miou(dm, own))
+            for om in others:
+                if om.sum() and (own & om).sum() >= 0:
+                    cross_ious.append(miou(dm, om))
+                    checked_pairs += 1
+    assert checked_pairs >= 3, "fixture produced too few overlap cases"
+    assert np.mean(own_ious) > 0.35, (np.mean(own_ious), own_ious)
+    # instance separation: own-instance agreement must dominate
+    assert np.mean(own_ious) > 2.0 * np.mean(cross_ious), (
+        np.mean(own_ious), np.mean(cross_ious))
