@@ -73,7 +73,8 @@ class BopEvaluator:
     def __init__(self, dataset: BopDataset, cfg: EvalConfig,
                  estimator: Pix2PoseEstimator, params_by_obj: dict,
                  obj_params: dict, detector, max_det: int = 8,
-                 method_name: str = "pix2pose-tpu"):
+                 method_name: str = "pix2pose-tpu",
+                 use_instance_masks: bool = True):
         """Args:
           estimator: one shared :class:`Pix2PoseEstimator` OR a dict
             {obj_id: estimator} for per-object configs (the reference's
@@ -83,6 +84,9 @@ class BopEvaluator:
           params_by_obj: {obj_id: generator variables}.
           obj_params: {obj_id: (6,) norm-factor vector}.
           detector: object with ``detect(scene_id, im_id, rgb)``.
+          use_instance_masks: feed detector instance masks into the
+            engine (duplicate-instance disambiguation; see the engine
+            module docstring). False = reference bbox-only behavior.
         """
         self.ds = dataset
         self.cfg = cfg
@@ -92,6 +96,7 @@ class BopEvaluator:
         self.detector = detector
         self.max_det = max_det
         self.method_name = method_name
+        self.use_instance_masks = use_instance_masks
 
     # ------------------------------------------------------------------
     def _est_for(self, obj_id) -> Pix2PoseEstimator:
@@ -217,15 +222,21 @@ class BopEvaluator:
         for i, d in enumerate(dets):
             bboxes[i] = d.bbox
             valid[i] = True
-        out = est(self.params_by_obj[obj_id], rgb, bboxes, valid,
-                  cam_k, self.obj_params[obj_id], key)
-
-        use_mask_score = (cfg.score_type == 2
-                          and all(d.mask is not None for d in dets))
-        if use_mask_score:
+        have_masks = all(d.mask is not None for d in dets)
+        det_masks = None
+        if have_masks:
             det_masks = np.zeros((n,) + rgb.shape[:2], bool)
             for i, d in enumerate(dets):
                 det_masks[i] = d.mask
+        # instance masks restrict the engine to each detection's own
+        # instance (duplicate-instance disambiguation; engine docstring)
+        out = est(self.params_by_obj[obj_id], rgb, bboxes, valid,
+                  cam_k, self.obj_params[obj_id], key,
+                  det_masks=(jnp.asarray(det_masks) if have_masks
+                             and self.use_instance_masks else None))
+
+        use_mask_score = cfg.score_type == 2 and have_masks
+        if use_mask_score:
             iou, union = _mask_scores(jnp.asarray(det_masks), out.box2,
                                       out.mask_pnp, est.pnp_stride)
             iou = np.asarray(iou)

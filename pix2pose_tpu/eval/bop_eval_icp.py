@@ -52,7 +52,8 @@ class BopEvaluatorICP:
                  estimator: Pix2PoseEstimator, params_by_obj: dict,
                  obj_params: dict, meshes_mm: dict, detector,
                  max_det: int = 8, method_name: str = "pix2pose-tpu-icp",
-                 batched: bool = True, icp_max_faces: int | None = 40000):
+                 batched: bool = True, icp_max_faces: int | None = 40000,
+                 use_instance_masks: bool = True):
         """Args:
           estimator: one shared :class:`Pix2PoseEstimator` OR a dict
             {obj_id: estimator} (per-object ``outlier_th``; see
@@ -77,6 +78,10 @@ class BopEvaluatorICP:
         self.detector = detector
         self.max_det = max_det
         self.method_name = method_name
+        # feed detector instance masks into the engine (duplicate-instance
+        # disambiguation; engine module docstring); False = reference
+        # bbox-only est_pose behavior
+        self.use_instance_masks = use_instance_masks
         im_w, im_h = dataset.im_size
         self.im_h, self.im_w = im_h, im_w
         if icp_max_faces is not None:
@@ -233,7 +238,8 @@ class BopEvaluatorICP:
                         continue
                     key, k1, k2 = jax.random.split(key, 3)
                     pose = self._est_pose_single(rgb, cam_k, obj_id,
-                                                 det.bbox, k1)
+                                                 det.bbox, k1,
+                                                 mask=det_mask)
                     if pose is None:
                         continue
                     R0, t0 = pose
@@ -371,17 +377,24 @@ class BopEvaluatorICP:
         n_pad = _bucket(max(len(v) for v in per_obj.values()))
         bboxes = np.zeros((n_obj, n_pad, 4), np.int32)
         valid = np.zeros((n_obj, n_pad), bool)
+        have_masks = self.use_instance_masks and all(
+            detections[r_id].mask is not None for r_id, _ in pairs)
+        det_masks = (np.zeros((n_obj, n_pad) + rgb.shape[:2], bool)
+                     if have_masks else None)
         slots = {}
         for o_idx, r_ids in per_obj.items():
             for s, r_id in enumerate(r_ids):
                 bboxes[o_idx, s] = detections[r_id].bbox
                 valid[o_idx, s] = True
+                if have_masks:
+                    det_masks[o_idx, s] = detections[r_id].mask
                 slots[(r_id, self._obj_list[o_idx])] = (o_idx, s)
 
         out = self._batch_est.estimate_objects(
             self._stacked_params, rgb, bboxes, valid, cam_k,
             self._obj_params_stack, jax.random.split(key, n_obj),
-            self._outlier_th_stack)
+            self._outlier_th_stack,
+            det_masks=(jnp.asarray(det_masks) if have_masks else None))
         ok = np.asarray(out.valid)
         R = np.asarray(out.R)
         t = np.asarray(out.t)
@@ -443,15 +456,20 @@ class BopEvaluatorICP:
             return self.est[obj_id]
         return self.est
 
-    def _est_pose_single(self, rgb, cam_k, obj_id, bbox, key):
+    def _est_pose_single(self, rgb, cam_k, obj_id, bbox, key, mask=None):
         n = self.max_det
         bboxes = np.zeros((n, 4), np.int32)
         bboxes[0] = bbox
         valid = np.zeros(n, bool)
         valid[0] = True
+        det_masks = None
+        if mask is not None and self.use_instance_masks:
+            det_masks = np.zeros((n,) + rgb.shape[:2], bool)
+            det_masks[0] = mask
+            det_masks = jnp.asarray(det_masks)
         out = self._est_for(obj_id)(
             self.params_by_obj[obj_id], rgb, bboxes, valid,
-            cam_k, self.obj_params[obj_id], key)
+            cam_k, self.obj_params[obj_id], key, det_masks=det_masks)
         if not bool(out.valid[0]):
             return None
         return np.asarray(out.R[0]), np.asarray(out.t[0])

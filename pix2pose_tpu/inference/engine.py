@@ -25,6 +25,16 @@ Semantics preserved from the reference (with citations inline):
     (``recognition.py:158-174``)
   - bail-outs: <10 foreground px, <6 PnP points -> invalid (-1 fraction)
     (``recognition.py:96,149,214``)
+
+Deliberate extension beyond the reference: optional per-detection INSTANCE
+masks (``det_masks``). The reference's ``est_pose`` is bbox-only
+(``recognition.py:70``), so when two instances of the SAME object overlap
+(T-Less/IC-BIN ViVo), the occluded instance's crop is dominated by its
+neighbor's pixels and PnP locks onto the wrong instance. When the detector
+supplies instance masks (Mask-RCNN contract / our CondInst head), the
+engine crops them alongside the RGB and restricts stage-1 foreground and
+the PnP correspondence set to the detection's own instance. Pass None to
+reproduce reference behavior exactly.
 """
 
 from __future__ import annotations
@@ -164,10 +174,23 @@ class Pix2PoseEstimator:
                     p, rgb, bb, dv, K, op, k, outlier_th=th),
                 in_axes=(0, None, 0, 0, None, 0, 0, 0)),
             in_axes=(None, 0, 0, 0, 0, None, 0, None)))
+        # instance-masked variants (compiled only if used; see the module
+        # docstring's det_masks extension)
+        self._run_masked = jax.jit(
+            lambda p, rgb, bb, dv, m, K, op, k: self._estimate(
+                p, rgb, bb, dv, K, op, k, det_masks=m))
+        self._run_batch_masked = jax.jit(jax.vmap(
+            lambda p, rgb, bb, dv, m, K, op, k: self._estimate(
+                p, rgb, bb, dv, K, op, k, det_masks=m),
+            in_axes=(None, 0, 0, 0, 0, 0, None, 0)))
+        self._run_objects_masked = jax.jit(jax.vmap(
+            lambda p, rgb, bb, dv, m, K, op, k, th: self._estimate(
+                p, rgb, bb, dv, K, op, k, outlier_th=th, det_masks=m),
+            in_axes=(0, None, 0, 0, 0, None, 0, 0, 0)))
 
     # ------------------------------------------------------------------
     def __call__(self, params, rgb, bboxes, det_valid, cam_k, obj_param,
-                 key) -> PoseEstimate:
+                 key, det_masks=None) -> PoseEstimate:
         """Estimate poses for up to N detections in one image.
 
         Args:
@@ -178,33 +201,50 @@ class Pix2PoseEstimator:
           cam_k: (3, 3) intrinsics.
           obj_param: (6,) [scale_xyz, ct_xyz] norm factors (mm).
           key: PRNG key for RANSAC.
+          det_masks: optional (N, H, W) per-detection instance masks —
+            restricts foreground/correspondences to each detection's own
+            instance (duplicate-instance scenes); None = reference
+            bbox-only behavior.
         """
+        if det_masks is not None:
+            return self._run_masked(params, rgb, bboxes, det_valid,
+                                    det_masks, cam_k, obj_param, key)
         return self._run(params, rgb, bboxes, det_valid, cam_k, obj_param,
                          key)
 
     def estimate_batch(self, params, rgbs, bboxes, det_valid, cam_ks,
-                       obj_param, keys) -> PoseEstimate:
+                       obj_param, keys, det_masks=None) -> PoseEstimate:
         """Batched over images: rgbs (B,H,W,3), bboxes (B,N,4),
         det_valid (B,N), cam_ks (B,3,3), keys (B,2). One compiled program
-        amortizes launch overhead across a whole image stream."""
+        amortizes launch overhead across a whole image stream.
+        ``det_masks`` optionally carries (B,N,H,W) instance masks."""
+        if det_masks is not None:
+            return self._run_batch_masked(params, rgbs, bboxes, det_valid,
+                                          det_masks, cam_ks, obj_param,
+                                          keys)
         return self._run_batch(params, rgbs, bboxes, det_valid, cam_ks,
                                obj_param, keys)
 
     def estimate_objects(self, stacked_params, rgb, bboxes, det_valid,
                          cam_k, obj_params, keys,
-                         outlier_th=None) -> PoseEstimate:
+                         outlier_th=None, det_masks=None) -> PoseEstimate:
         """Batched over OBJECTS of one image: stacked_params has every
         param leaf stacked on a leading object axis (see
         :func:`stack_object_params`), bboxes (O,N,4), det_valid (O,N),
         obj_params (O,6), keys (O,2); rgb (H,W,3) and cam_k (3,3) shared.
         ``outlier_th`` optionally overrides the config thresholds per
-        object as an (O, T) array with T == len(cfg.outlier_th).
+        object as an (O, T) array with T == len(cfg.outlier_th);
+        ``det_masks`` optionally carries (O, N, H, W) instance masks.
         Every returned field carries the (O, N, ...) axes."""
         if outlier_th is None:
             o = bboxes.shape[0]
             outlier_th = jnp.tile(
                 jnp.asarray(self.cfg.outlier_th, jnp.float32)[None],
                 (o, 1))
+        if det_masks is not None:
+            return self._run_objects_masked(
+                stacked_params, rgb, bboxes, det_valid, det_masks, cam_k,
+                obj_params, keys, jnp.asarray(outlier_th, jnp.float32))
         return self._run_objects(stacked_params, rgb, bboxes, det_valid,
                                  cam_k, obj_params, keys,
                                  jnp.asarray(outlier_th, jnp.float32))
@@ -231,7 +271,7 @@ class Pix2PoseEstimator:
 
     # ------------------------------------------------------------------
     def _estimate(self, params, rgb, bboxes, det_valid, cam_k, obj_param,
-                  key, outlier_th=None) -> PoseEstimate:
+                  key, outlier_th=None, det_masks=None) -> PoseEstimate:
         cfg = self.cfg
         size = cfg.im_size
         # outlier_th may be a runtime (T,) override (same T as the config)
@@ -253,6 +293,13 @@ class Pix2PoseEstimator:
         dec1, prob1 = self.model.apply(params, crops1)  # (N,S,S,3),(N,S,S,1)
         prob1 = prob1[..., 0]
         fg1 = jnp.linalg.norm(dec1, axis=-1) > cfg.gray_norm_th  # (N,S,S)
+        if det_masks is not None:
+            # restrict stage-1 foreground to the detection's own instance
+            dm = jnp.asarray(det_masks, jnp.float32)
+            m1 = jax.vmap(
+                lambda m, b: crop_ops.crop_resize_2d(m, b, size, False)
+            )(dm, box1) > 0.5
+            fg1 = fg1 & m1
         n_init = jnp.sum(fg1, axis=(1, 2))  # (N,)
 
         # stage-1 foreground bbox & centroid — threshold-independent
@@ -319,6 +366,12 @@ class Pix2PoseEstimator:
         pnp_valid = (sub(fg2)
                      & (sub(prob2) < cfg.inlier_th)
                      & sub(in_img)[:, None])  # (N,T,gs,gs)
+        if det_masks is not None:
+            # correspondences only on the detection's own instance
+            m2 = jax.vmap(
+                lambda m, b: crop_ops.crop_resize_2d(m, b, size, False)
+            )(dm, box2) > 0.5
+            pnp_valid = pnp_valid & sub(m2)[:, None]
         img_pts = jnp.stack([sub(uu), sub(vv)], axis=-1)  # (N,gs,gs,2)
         img_pts = jnp.broadcast_to(img_pts[:, None],
                                    (n_det, n_th, gs, gs, 2))

@@ -258,3 +258,113 @@ def build_cube_dataset(root, n_scenes=1, ims_per_scene=2, half=40.0,
     with open(os.path.join(ds_dir, "test_targets_bop19.json"), "w") as f:
         json.dump(targets, f)
     return entries
+
+def build_duplicate_cube_dataset(root, n_scenes=1, ims_per_scene=3,
+                                 im_h=480, im_w=640, half=40.0,
+                                 split="test", seed=5):
+    """Dataset 'twocubes': TWO instances of the SAME object occluding
+    each other in every image — the ViVo duplicate-instance case
+    (T-Less/IC-BIN style) that drives inst_count caps
+    (``5_evaluation_bop_basic.py:297-299,325-349``) and the ICP
+    evaluator's occupancy gating (``5_evaluation_bop_icp3d.py:392-433``).
+    Per-instance visib masks, combined depth, unlit XYZ colors (oracle
+    network compatible).
+
+    Returns list of (scene_id, im_id, [(R, t), (R, t)]).
+    """
+    name = "twocubes"
+    ds_dir = os.path.join(root, name)
+    model_dir = os.path.join(ds_dir, "models")
+    xyz_dir = os.path.join(ds_dir, "models_xyz")
+    os.makedirs(model_dir, exist_ok=True)
+    os.makedirs(xyz_dir, exist_ok=True)
+
+    verts, faces = cube_mesh(half)
+    diam = float(np.linalg.norm([2 * half] * 3))
+    save_ply(os.path.join(model_dir, "obj_000001.ply"), verts, faces)
+    with open(os.path.join(model_dir, "models_info.json"), "w") as f:
+        json.dump({"1": {"diameter": diam,
+                         "min_x": -half, "min_y": -half, "min_z": -half,
+                         "size_x": 2 * half, "size_y": 2 * half,
+                         "size_z": 2 * half}}, f)
+    with open(os.path.join(xyz_dir, "norm_factor.json"), "w") as f:
+        json.dump({"1": {"x_scale": half, "y_scale": half,
+                         "z_scale": half, "x_ct": 0.0, "y_ct": 0.0,
+                         "z_ct": 0.0}}, f)
+    with open(os.path.join(ds_dir, "camera.json"), "w") as f:
+        json.dump({"fx": float(CAM_K[0, 0]), "fy": float(CAM_K[1, 1]),
+                   "cx": float(CAM_K[0, 2]), "cy": float(CAM_K[1, 2]),
+                   "width": im_w, "height": im_h, "depth_scale": 1.0}, f)
+
+    from PIL import Image
+
+    colors = ((verts / half + 1.0) / 2.0 * 255.0).astype(np.float32)
+    rng = np.random.RandomState(seed)
+    entries, targets = [], []
+    for s in range(n_scenes):
+        sdir = os.path.join(ds_dir, split, f"{s:06d}")
+        os.makedirs(os.path.join(sdir, "rgb"), exist_ok=True)
+        os.makedirs(os.path.join(sdir, "depth"), exist_ok=True)
+        os.makedirs(os.path.join(sdir, "mask_visib"), exist_ok=True)
+        cam, gt = {}, {}
+        for i in range(ims_per_scene):
+            # front cube centered-ish; second cube BEHIND and offset so
+            # its silhouette is partially occluded by the first
+            poses = []
+            R0, t0 = pose_with_euler(
+                yaw=rng.uniform(-1, 1), pitch=rng.uniform(-0.6, 0.6),
+                roll=rng.uniform(-1, 1),
+                tx=-20.0 + rng.uniform(-10, 10),
+                ty=rng.uniform(-15, 15), tz=600.0 + rng.uniform(-20, 20))
+            R1, t1 = pose_with_euler(
+                yaw=rng.uniform(-1, 1), pitch=rng.uniform(-0.6, 0.6),
+                roll=rng.uniform(-1, 1),
+                tx=t0[0] + 62.0 + rng.uniform(-6, 6),
+                ty=t0[1] + rng.uniform(-10, 10),
+                tz=t0[2] + 110.0 + rng.uniform(-15, 15))
+            poses = [(R0, t0), (R1, t1)]
+
+            depth_all = np.full((im_h, im_w), np.inf, np.float32)
+            # gray background = coordinate origin = "no object" for the
+            # oracle generator (same convention as build_cube_dataset)
+            rgb = np.full((im_h, im_w, 3), 128, np.uint8)
+            winner = np.full((im_h, im_w), -1, np.int32)  # instance id
+            for inst, (R, t) in enumerate(poses):
+                out = rasterizer.render_mesh(verts, faces, colors, R, t,
+                                             CAM_K, im_h, im_w)
+                d = np.asarray(out.depth)
+                m = np.asarray(out.mask)
+                d = np.where(m, d, np.inf)
+                win = m & (d < depth_all)
+                depth_all = np.where(win, d, depth_all)
+                rgb[win] = np.clip(np.asarray(out.attr)[win], 0,
+                                   255).astype(np.uint8)
+                winner[win] = inst
+            Image.fromarray(rgb).save(
+                os.path.join(sdir, "rgb", f"{i:06d}.png"))
+            depth_mm = np.where(np.isfinite(depth_all), depth_all,
+                                0.0).astype(np.float32)
+            Image.fromarray(depth_mm.astype(np.uint16)).save(
+                os.path.join(sdir, "depth", f"{i:06d}.png"))
+            gt_list = []
+            for inst, (R, t) in enumerate(poses):
+                visib = winner == inst
+                Image.fromarray((visib * 255).astype(np.uint8)).save(
+                    os.path.join(sdir, "mask_visib",
+                                 f"{i:06d}_{inst:06d}.png"))
+                gt_list.append({"obj_id": 1,
+                                "cam_R_m2c": R.reshape(-1).tolist(),
+                                "cam_t_m2c": t.tolist()})
+            targets.append({"scene_id": s, "im_id": i, "obj_id": 1,
+                            "inst_count": 2})
+            cam[str(i)] = {"cam_K": np.asarray(CAM_K).reshape(-1).tolist(),
+                           "depth_scale": 1.0}
+            gt[str(i)] = gt_list
+            entries.append((s, i, poses))
+        with open(os.path.join(sdir, "scene_camera.json"), "w") as f:
+            json.dump(cam, f)
+        with open(os.path.join(sdir, "scene_gt.json"), "w") as f:
+            json.dump(gt, f)
+    with open(os.path.join(ds_dir, "test_targets_bop19.json"), "w") as f:
+        json.dump(targets, f)
+    return entries
