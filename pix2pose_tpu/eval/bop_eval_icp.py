@@ -53,7 +53,7 @@ class BopEvaluatorICP:
                  obj_params: dict, meshes_mm: dict, detector,
                  max_det: int = 8, method_name: str = "pix2pose-tpu-icp",
                  batched: bool = True, icp_max_faces: int | None = 40000,
-                 use_instance_masks: bool = True):
+                 use_instance_masks: bool = True, icp_iters: int = 30):
         """Args:
           estimator: one shared :class:`Pix2PoseEstimator` OR a dict
             {obj_id: estimator} (per-object ``outlier_th``; see
@@ -89,7 +89,8 @@ class BopEvaluatorICP:
             meshes_mm = {o: decimate_mesh(v, f, icp_max_faces)
                          for o, (v, f) in meshes_mm.items()}
         self.refiners = {
-            obj_id: make_icp_refiner(np.asarray(v) / 1000.0, f, im_h, im_w)
+            obj_id: make_icp_refiner(np.asarray(v) / 1000.0, f, im_h, im_w,
+                                     icp_iters=icp_iters)
             for obj_id, (v, f) in meshes_mm.items()}
         # dropped binned-rasterizer work pairs across all refines (see
         # RenderOut.overflow); nonzero => some ICP renders truncated
@@ -111,7 +112,8 @@ class BopEvaluatorICP:
             sv, sf = stack_meshes(
                 [(np.asarray(meshes_mm[o][0]) / 1000.0, meshes_mm[o][1])
                  for o in self._obj_list])
-            self._refine_batch = make_batch_icp_refiner(sv, sf, im_h, im_w)
+            self._refine_batch = make_batch_icp_refiner(
+                sv, sf, im_h, im_w, icp_iters=icp_iters)
             # one engine instance + runtime per-object thresholds
             if isinstance(estimator, dict):
                 ests = [estimator[o] for o in self._obj_list]

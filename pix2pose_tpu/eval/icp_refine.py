@@ -80,6 +80,21 @@ def _refine_body(verts_m, faces, im_h, im_w, n_src, n_tgt, icp_iters,
       tgt_pts/tgt_normals: (H,W,3) precomputed sensor cloud + normals
         (meters; ``icp3d:372-374``).
     """
+    # f32 matmuls throughout: the vertex transforms inside render_mesh and
+    # the pose compositions below put mm-scale error on 0.5 m coordinates
+    # at the TPU's default bf16 MXU precision — fatal for a refiner whose
+    # job is sub-mm. All matmuls here are (N,3)x(3,3) or smaller, so this
+    # costs nothing. (The ICP core sets the same precision internally.)
+    with jax.default_matmul_precision("highest"):
+        return _refine_body_inner(verts_m, faces, im_h, im_w, n_src,
+                                  n_tgt, icp_iters, R, t_mm, cam_k,
+                                  union_mask, depth_m, tgt_pts,
+                                  tgt_normals, key)
+
+
+def _refine_body_inner(verts_m, faces, im_h, im_w, n_src, n_tgt, icp_iters,
+                       R, t_mm, cam_k, union_mask, depth_m, tgt_pts,
+                       tgt_normals, key):
     k1, k2 = jax.random.split(key)
     # translation sanity reset (``icp3d:61-62``)
     tgt_flat = tgt_pts.reshape(-1, 3)

@@ -57,17 +57,35 @@ def _icp_level(R, t, src, tgt_p, tgt_n, src_valid, tgt_valid, iters,
             jnp.sum(w0), 1)
         keep = w0 & (dist < rejection_scale * mean_d + 1e-12)
         w = keep.astype(jnp.float32)
+        n_keep = jnp.maximum(jnp.sum(w), 1.0)
 
+        # Rotation parameterized ABOUT THE SRC-CLOUD CENTROID: with a
+        # camera-frame origin, a small object at 0.5-1 m distance makes
+        # the rotation columns (cross(sp, n), |sp| ~ camera distance)
+        # nearly collinear with the translation columns — the 6x6 system
+        # is ill-conditioned along the rotate-about-origin ≈ translate
+        # gauge direction, and Gauss-Newton steps explode along it
+        # (measured: 10-deg perturbations diverged to km-scale error).
+        # Centered at the centroid, the lever arm is the OBJECT radius.
+        c = jnp.sum(sp * w[:, None], axis=0) / n_keep
         r = jnp.sum((sp - q) * n, axis=1)  # point-to-plane residual
-        jw = jnp.cross(sp, n)              # d r / d omega
+        jw = jnp.cross(sp - c, n)          # d r / d omega (centered)
         J = jnp.concatenate([jw, n], axis=1)  # (S,6)
         JtJ = (J * w[:, None]).T @ J
         Jtr = (J * w[:, None]).T @ r
         delta = jnp.linalg.solve(JtJ + 1e-6 * jnp.eye(6), -Jtr)
         delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
-        R_new = _rodrigues(delta[:3]) @ R
-        t_new = t + delta[3:]
-        res = jnp.sum(jnp.abs(r) * w) / jnp.maximum(jnp.sum(w), 1.0)
+        # trust region: the linearization is only valid for small steps
+        wn = jnp.linalg.norm(delta[:3])
+        delta = delta.at[:3].multiply(jnp.minimum(1.0, 0.5 / (wn + 1e-12)))
+        # incremental motion sp' = Rd (sp - c) + c + dt composes as
+        # R_new = Rd R, t_new = Rd t + (c - Rd c) + dt (the previous
+        # update dropped the Rd-rotation of t and c entirely — an
+        # O(|omega| * |t|) error per iteration, ~6 mm at 0.01 rad)
+        Rd = _rodrigues(delta[:3])
+        R_new = Rd @ R
+        t_new = Rd @ t + (c - Rd @ c) + delta[3:]
+        res = jnp.sum(jnp.abs(r) * w) / n_keep
         return (R_new, t_new, res), None
 
     (R, t, res), _ = jax.lax.scan(step, (R, t, jnp.asarray(0.0)), None,
@@ -111,12 +129,20 @@ def icp_point_to_plane(src_pts, tgt_pts, tgt_normals, src_valid=None,
     t = jnp.zeros(3, jnp.float32)
     res = jnp.asarray(jnp.inf, jnp.float32)
     per_level = max(iters // levels, 1)
-    for lvl in range(levels):
-        stride = 2 ** (levels - 1 - lvl)
-        sub = slice(None, None, stride)
-        R, t, res = _icp_level(R, t, src_pts[sub], tgt_pts, tgt_normals,
-                               src_valid[sub], tgt_valid, per_level,
-                               rejection_scale)
+    # Full f32 matmuls: on TPU the default bf16 MXU precision puts ~1e-3
+    # absolute error on the 0.25 m^2 dot products in the NN distance
+    # matrix — swamping the mm^2-scale differences that pick the nearest
+    # neighbor — and corrupts the 6x6 normal equations (measured on-TPU:
+    # in-basin median ADD 2.07-5.19 mm vs 0.23 mm on CPU, with 100-140 mm
+    # divergence tails). The matrices here are a few-k x few-k x 3, so
+    # the 6-pass f32 emulation is free relative to the argmin.
+    with jax.default_matmul_precision("highest"):
+        for lvl in range(levels):
+            stride = 2 ** (levels - 1 - lvl)
+            sub = slice(None, None, stride)
+            R, t, res = _icp_level(R, t, src_pts[sub], tgt_pts,
+                                   tgt_normals, src_valid[sub], tgt_valid,
+                                   per_level, rejection_scale)
     ok = (jnp.isfinite(res) & jnp.all(jnp.isfinite(R))
           & jnp.all(jnp.isfinite(t))
           & (jnp.sum(src_valid) >= 10) & (jnp.sum(tgt_valid) >= 10))

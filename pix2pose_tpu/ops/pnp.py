@@ -236,15 +236,54 @@ def pnp_ransac(obj_pts, img_pts, valid, K, key, *, iters: int = 100,
     ts = jnp.concatenate([ts_a, ts_b])
 
     # --- scoring ----------------------------------------------------------
-    proj = jax.vmap(lambda R, t: project(obj_pts, R, t, K))(Rs, ts)
-    err = jnp.linalg.norm(proj - img_pts[None], axis=-1)  # (2R, N)
-    depth = jnp.einsum("rj,nj->rn", Rs[:, 2, :], obj_pts) + ts[:, 2:3]
-    inl = (err < reproj_px) & valid[None, :] & (depth > 0)
+    # Chunked scan with an online best-hypothesis carry: broadcasting all
+    # 2R hypotheses against all N points at once materializes an
+    # (candidates, 2R, N, 3) reprojection temp — 14 GB for a 32-image
+    # engine batch (measured XLA OOM) and pure HBM-bandwidth waste even
+    # when it fits. Scoring flops are negligible, so a scan over
+    # hypothesis chunks costs nothing and keeps the temp at
+    # (candidates, CH, N, 3). Selection semantics are identical to the
+    # global argmax (first maximum wins across and within chunks).
     finite = jnp.all(jnp.isfinite(Rs), axis=(1, 2)) & jnp.all(
         jnp.isfinite(ts), axis=1)
-    scores = jnp.where(finite, jnp.sum(inl, axis=1), -1)
-    best = jnp.argmax(scores)
-    best_inl = inl[best]
+    ch = 25
+    n_hyp = Rs.shape[0]
+    pad = (-n_hyp) % ch
+    if pad:
+        Rs_s = jnp.concatenate(
+            [Rs, jnp.broadcast_to(jnp.eye(3), (pad, 3, 3))])
+        ts_s = jnp.concatenate([ts, jnp.zeros((pad, 3))])
+        fin_s = jnp.concatenate([finite, jnp.zeros(pad, bool)])
+    else:
+        Rs_s, ts_s, fin_s = Rs, ts, finite
+    n_ch = Rs_s.shape[0] // ch
+
+    def score_chunk(carry, rt):
+        Rs_c, ts_c, fin_c = rt
+        proj = jax.vmap(lambda R, t: project(obj_pts, R, t, K))(Rs_c, ts_c)
+        err = jnp.linalg.norm(proj - img_pts[None], axis=-1)  # (ch, N)
+        depth = jnp.einsum("rj,nj->rn", Rs_c[:, 2, :], obj_pts) \
+            + ts_c[:, 2:3]
+        inl = (err < reproj_px) & valid[None, :] & (depth > 0)
+        sc = jnp.where(fin_c, jnp.sum(inl, axis=1), -1)
+        b = jnp.argmax(sc)
+        c_sc, c_R, c_t = carry
+        better = sc[b] > c_sc
+        return (jnp.where(better, sc[b], c_sc),
+                jnp.where(better, Rs_c[b], c_R),
+                jnp.where(better, ts_c[b], c_t)), None
+
+    (best_score, best_R, best_t), _ = jax.lax.scan(
+        score_chunk,
+        (jnp.int32(-2), jnp.eye(3, dtype=jnp.float32),
+         jnp.zeros(3, jnp.float32)),
+        (Rs_s.reshape(n_ch, ch, 3, 3), ts_s.reshape(n_ch, ch, 3),
+         fin_s.reshape(n_ch, ch)))
+    # consensus set of the winning hypothesis (one projection)
+    err_b = jnp.linalg.norm(project(obj_pts, best_R, best_t, K) - img_pts,
+                            axis=-1)
+    depth_b = obj_pts @ best_R[2] + best_t[2]
+    best_inl = (err_b < reproj_px) & valid & (depth_b > 0)
 
     # --- refit on consensus ----------------------------------------------
     # The hypothesis stage above (mixed-k + per-sample polish) is where
@@ -264,8 +303,8 @@ def pnp_ransac(obj_pts, img_pts, valid, K, key, *, iters: int = 100,
     R_fit, t_fit = _pose_from_p(vecs_all[:, 0], obj_mean, obj_scale,
                                 obj_n * w_fit[:, None], K)
     fit_ok = jnp.all(jnp.isfinite(R_fit)) & jnp.all(jnp.isfinite(t_fit))
-    R_fit = jnp.where(fit_ok, R_fit, Rs[best])
-    t_fit = jnp.where(fit_ok, t_fit, ts[best])
+    R_fit = jnp.where(fit_ok, R_fit, best_R)
+    t_fit = jnp.where(fit_ok, t_fit, best_t)
     R_ref, t_ref = _gauss_newton_refine(R_fit, t_fit, obj_pts, img_pts,
                                         w_fit, K, iters=refine_iters)
     ref_ok = jnp.all(jnp.isfinite(R_ref)) & jnp.all(jnp.isfinite(t_ref))
@@ -292,7 +331,7 @@ def pnp_ransac(obj_pts, img_pts, valid, K, key, *, iters: int = 100,
     depth_f = obj_pts @ R_ref[2] + t_ref[2]
     inl_f = (err_f < reproj_px) & valid & (depth_f > 0)
 
-    ok = (n_valid >= min_pts) & (scores[best] > 0)
+    ok = (n_valid >= min_pts) & (best_score > 0)
     eye = jnp.eye(3, dtype=jnp.float32)
     zero = jnp.zeros(3, jnp.float32)
     return PnPResult(

@@ -72,7 +72,17 @@ class BandOracleGenerator(nn.Module):
     variables stack for ``estimate_objects``), emitting gray + high error
     elsewhere — the analytic analogue of a per-object trained network
     suppressing occluders and background (reference trains one net per
-    object, ``3_train_pix2pose.py``)."""
+    object, ``3_train_pix2pose.py``)).
+
+    ``coord_rot_deg`` != 0 rotates the decoded normalized coordinates
+    about the (1,1,1) axis, simulating a systematically miscalibrated
+    generator: PnP then returns a pose rotated by exactly that angle (an
+    exact solution with perfect reprojection exists). Unlike a depth-scale
+    bias — which the RGB-D evaluator's depth prealignment wipes before ICP
+    even runs (measured) — a rotation bias can ONLY be recovered by ICP
+    iterations, making it the right knob for the ICP-sensitivity A/B."""
+
+    coord_rot_deg: float = 0.0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -84,6 +94,13 @@ class BandOracleGenerator(nn.Module):
                          axis=-1, keepdims=True)
         out01 = (c - lo) / jnp.maximum(hi - lo, 1e-6)
         dec = jnp.where(inside, jnp.clip(out01 * 2.0 - 1.0, -1.0, 1.0), 0.0)
+        if self.coord_rot_deg:
+            th = np.deg2rad(self.coord_rot_deg)
+            ax = np.full(3, 1.0 / np.sqrt(3.0))
+            K = np.array([[0, -ax[2], ax[1]], [ax[2], 0, -ax[0]],
+                          [-ax[1], ax[0], 0]])
+            Rb = np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
+            dec = dec @ jnp.asarray(Rb.T, dec.dtype)
         prob = jnp.where(inside, 0.01, 0.99).astype(x.dtype)
         return dec, prob
 

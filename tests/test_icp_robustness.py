@@ -1,0 +1,132 @@
+"""ICP convergence-envelope harness (VERDICT r2 weak #3).
+
+``cv2.ppf_match_3d_ICP`` is absent from this cv2 build, so the refiner is
+validated against ANALYTIC ground truth: known rigid perturbations x
+noise x outliers x partial overlap (semantics target: the reference's
+tol=0.005 / rejectionScale=2.5 / numLevels=2 call,
+``5_evaluation_bop_icp3d.py:88-89``). The asserted envelopes are the
+measured basins (docs/ICP.md) with margin — a regression in any regime
+fails here. This harness caught two real solver bugs on first run:
+camera-origin rotation parameterization (ill-conditioned 6x6 -> km-scale
+divergence at 10-deg perturbations) and a dropped omega x t term in the
+incremental update.
+"""
+
+import numpy as np
+import pytest
+
+from pix2pose_tpu.eval.icp_refine import make_icp_refiner
+from pix2pose_tpu.tools.icp_robustness import (IM_H, IM_W, prism_mesh,
+                                               run_case)
+
+
+@pytest.fixture(scope="module")
+def refiner_and_mesh():
+    verts, faces = prism_mesh()
+    return verts, faces, make_icp_refiner(verts / 1000.0, faces, IM_H,
+                                          IM_W)
+
+
+def _med_final(verts, faces, refiner, case, seeds=3):
+    return float(np.median([
+        run_case(verts, faces, *case, seed=s, refiner=refiner)
+        ["add_final"] for s in range(seeds)]))
+
+
+def test_clean_small_perturbations_converge(refiner_and_mesh):
+    verts, faces, ref = refiner_and_mesh
+    # 5 deg / 10 mm and 10 deg / 20 mm on clean depth: well inside the
+    # basin (measured medians 0.24 / 0.23 mm)
+    assert _med_final(verts, faces, ref, (5.0, 10.0, 0.0, 0.0, 1.0)) < 2.0
+    assert _med_final(verts, faces, ref, (10.0, 20.0, 0.0, 0.0, 1.0)) < 2.0
+
+
+def test_noise_tolerance(refiner_and_mesh):
+    verts, faces, ref = refiner_and_mesh
+    # gaussian depth noise: 2 mm sigma -> ~sub-mm-to-mm; 5 mm -> a few mm
+    # (measured 0.66 / 2.60)
+    assert _med_final(verts, faces, ref, (10.0, 20.0, 2.0, 0.0, 1.0)) < 3.0
+    assert _med_final(verts, faces, ref, (10.0, 20.0, 5.0, 0.0, 1.0)) < 8.0
+
+
+def test_outliers_and_partial_overlap(refiner_and_mesh):
+    verts, faces, ref = refiner_and_mesh
+    # 10% gross depth outliers inside the mask (0.3-1.2 m junk): pose
+    # stays inside the 20 mm depth-score band (measured median 10.5)
+    assert _med_final(verts, faces, ref,
+                      (10.0, 20.0, 0.0, 0.1, 1.0)) < 16.0
+    # 60% overlap + noise + outliers (measured 6.4)
+    assert _med_final(verts, faces, ref,
+                      (10.0, 20.0, 2.0, 0.1, 0.6)) < 16.0
+
+
+def test_no_catastrophic_divergence_outside_basin(refiner_and_mesh):
+    """Beyond the basin (45 deg) convergence is not expected — cv2's ICP
+    would not converge either — but the trust-region step must prevent
+    the pre-fix failure mode (error exploding to km scale)."""
+    verts, faces, ref = refiner_and_mesh
+    for seed in range(3):
+        r = run_case(verts, faces, 45.0, 80.0, 0.0, 0.0, 1.0, seed=seed,
+                     refiner=ref)
+        assert r["add_final"] < 50.0 * r["add_init"], r
+
+
+def test_ar_sensitivity_to_icp_quality(tmp_path):
+    """A/B on the multishape RGB-D eval with a systematically
+    miscalibrated generator (coord_rot_deg=10 -> every RGB pose exactly
+    10 deg off): full-strength ICP must pull the pose back near GT where
+    a crippled (1-iteration) refiner cannot — quantifying how much of the
+    RGB-D AR machinery rides on ICP quality. Two designs that DON'T work:
+    a perfect oracle (initial poses already sub-mm, A/B is noise —
+    measured 0.58 vs 0.61 mm) and a depth-scale bias (the evaluator's
+    depth prealignment wipes it before ICP runs — measured 0.81 mm
+    residual at 1 iteration)."""
+    import jax
+
+    from bop_fixture import (SHAPE_BANDS, build_multishape_dataset,
+                             multishape_objects)
+    from synthetic import BandOracleGenerator, band_oracle_params
+    from pix2pose_tpu.config import EvalConfig
+    from pix2pose_tpu.data import BopDataset
+    from pix2pose_tpu.eval.bop_eval_icp import BopEvaluatorICP
+    from pix2pose_tpu.inference import Pix2PoseEstimator
+    from pix2pose_tpu.inference.detector import GtDetector
+
+    root = str(tmp_path)
+    entries = build_multishape_dataset(root, n_scenes=1, ims_per_scene=2)
+    ds = BopDataset(root, "shapes", train=False)
+    model = BandOracleGenerator(coord_rot_deg=10.0)
+    objs = multishape_objects()
+    params_by_obj = {o: band_oracle_params(*SHAPE_BANDS[o]) for o in objs}
+    obj_params = {
+        o: np.concatenate([objs[o][2], np.zeros(3)]).astype(np.float32)
+        for o in objs}
+    cfg = EvalConfig(dataset_dir=root, score_type=2, task_type=2,
+                     cand_factor=1.0, outlier_th=(0.1, 0.2, 0.3),
+                     inlier_th=0.1)
+    meshes = {o: (objs[o][0], objs[o][1]) for o in objs}
+    gt = {(s, i): per for s, i, per in entries}
+
+    def mean_add(icp_iters):
+        est = Pix2PoseEstimator(model, cfg.estimator(0))
+        ev = BopEvaluatorICP(ds, cfg, est, params_by_obj, obj_params,
+                             meshes, GtDetector(ds, jitter=3), max_det=4,
+                             batched=True, icp_iters=icp_iters)
+        results = ev.run(key=jax.random.PRNGKey(3))
+        errs = []
+        for r in results:
+            R_gt, t_gt = gt[(r["scene_id"], r["im_id"])][r["obj_id"]]
+            pts = objs[r["obj_id"]][0]
+            a = pts @ np.asarray(r["R"]).T + np.asarray(r["t"])
+            b = pts @ R_gt.T + t_gt
+            errs.append(np.mean(np.linalg.norm(a - b, axis=1)))
+        assert errs, "eval produced no results"
+        return float(np.mean(errs))
+
+    add_full = mean_add(30)
+    add_weak = mean_add(1)
+    # full ICP must recover most of the injected rotation; the crippled
+    # refiner cannot
+    assert add_full < 0.5 * add_weak, (add_full, add_weak)
+    assert add_full < 2.5, add_full
+    assert add_weak > 2.5, add_weak  # the bias really was injected
