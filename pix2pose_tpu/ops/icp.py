@@ -22,6 +22,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from pix2pose_tpu.ops import smallmat
+
 
 class ICPResult(NamedTuple):
     R: jnp.ndarray         # (3,3) delta rotation
@@ -73,7 +75,7 @@ def _icp_level(R, t, src, tgt_p, tgt_n, src_valid, tgt_valid, iters,
         J = jnp.concatenate([jw, n], axis=1)  # (S,6)
         JtJ = (J * w[:, None]).T @ J
         Jtr = (J * w[:, None]).T @ r
-        delta = jnp.linalg.solve(JtJ + 1e-6 * jnp.eye(6), -Jtr)
+        delta = smallmat.chol_solve(JtJ + 1e-6 * jnp.eye(6), -Jtr)
         delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
         # trust region: the linearization is only valid for small steps
         wn = jnp.linalg.norm(delta[:3])

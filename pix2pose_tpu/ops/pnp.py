@@ -5,10 +5,11 @@ Replaces the reference's per-candidate OpenCV call
 iterationsCount=100)``, ``pix2pose_model/recognition.py:216-223``) with a
 fully vectorized, jittable solver:
 
-- R minimal hypotheses are drawn at once (Gumbel top-k sampling of 6-point
-  sets from the valid-correspondence mask — no rejection loops),
-- each hypothesis is solved by DLT (smallest eigenvector of the 12x12 normal
-  matrix, batched ``eigh``) and decomposed to a rigid pose via 3x3 SVD,
+- R minimal hypotheses are drawn at once (random blocks of one Gumbel
+  permutation of the valid-correspondence mask — no rejection loops),
+- each hypothesis is solved by DLT (pinned 11x11 solve of the 12x12 normal
+  system — see :mod:`pix2pose_tpu.ops.smallmat` for why not ``eigh``) and
+  decomposed to a rigid pose via a quaternion power iteration (not SVD),
 - all hypotheses score all correspondences in one broadcast reprojection,
 - the consensus set of the best hypothesis is refit with a masked DLT and
   polished by fixed-iteration Gauss-Newton on the pixel reprojection error.
@@ -24,6 +25,8 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+from pix2pose_tpu.ops import smallmat
 
 
 class PnPResult(NamedTuple):
@@ -75,11 +78,11 @@ def _pose_from_p(p_vec, obj_mean, obj_scale, sample_pts, K):
     z = sample_pts @ P[2, :3] + P[2, 3]
     P = P * jnp.where(jnp.sum(z) < 0, -1.0, 1.0)
     M = P[:, :3]
-    u, s, vt = jnp.linalg.svd(M)
-    det = jnp.linalg.det(u @ vt)
-    d = jnp.array([1.0, 1.0, 0.0]) + jnp.array([0.0, 0.0, 1.0]) * det
-    R = (u * d[None, :]) @ vt
-    lam = jnp.mean(s * d)  # account for the flipped axis
+    # nearest proper rotation + optimal scale WITHOUT a 3x3 SVD (XLA's
+    # batched svd serializes on TPU: 187 ms for one engine launch's worth;
+    # see ops/smallmat.py). Returns exactly (u diag(1,1,det) vt,
+    # mean(s*[1,1,det])) of the SVD formulation.
+    R, lam = smallmat.nearest_rotation_scale(M)
     lam = jnp.where(jnp.abs(lam) < 1e-9, 1e-9, lam)
     t_n = P[:, 3] / lam
     # undo object normalization x' = (x - mean)/scale:
@@ -126,20 +129,28 @@ def _gauss_newton_refine(R, t, obj_pts, img_pts, w, K, iters: int = 8,
                        -fy * y * inv_z ** 2], -1),
         ], 1)
         # left perturbation: p(w) = exp(w) p ≈ p + w x p, so
-        # dp/d(omega) = -[p]_x; `neg_px` below IS -[p]_x.
-        neg_px = jnp.stack([
-            jnp.stack([jnp.zeros_like(x), p[:, 2], -p[:, 1]], -1),
-            jnp.stack([-p[:, 2], jnp.zeros_like(x), p[:, 0]], -1),
-            jnp.stack([p[:, 1], -p[:, 0], jnp.zeros_like(x)], -1),
-        ], 1)
-        J_w = jnp.einsum("nij,njk->nik", duv_dp, neg_px)  # (N,2,3)
+        # dp/d(omega) = -[p]_x and the chain rule gives
+        # J_w = duv_dp @ (-[p]_x) = cross(p, duv_dp) row-wise — computed
+        # as a cross product: the (N,2,3)@(N,3,3) einsum this replaces
+        # lowered to tiny batched matmuls that cost ~12.5 ms PER GN
+        # ITERATION at N=4096 on v5e (13 iterations dominated the whole
+        # consensus stage)
+        J_w = jnp.cross(jnp.broadcast_to(p[:, None, :], duv_dp.shape),
+                        duv_dp)
         J = jnp.concatenate([J_w, duv_dp], axis=-1)  # (N,2,6)
         r_norm = jnp.linalg.norm(r, axis=-1)
         huber = jnp.minimum(1.0, huber_px / jnp.maximum(r_norm, 1e-9))
-        wn = (w * huber)[:, None, None]
-        JtJ = jnp.einsum("nri,nrj->ij", J * wn, J)
-        Jtr = jnp.einsum("nri,nr->i", J * wn, r)
-        delta = jnp.linalg.solve(JtJ + damping * jnp.eye(6), -Jtr)
+        sw = jnp.sqrt(jnp.maximum(w * huber, 0.0))[:, None]
+        # one real GEMM for the whole normal system: G = [sqrt(w) J |
+        # sqrt(w) r] flattened over residual rows; G^T G packs JtJ, Jtr
+        # (and r^T r, unused) — MXU-shaped (7, 2N) x (2N, 7) instead of
+        # weighted-einsum reductions
+        G = jnp.concatenate([J, r[..., None]], axis=-1)  # (N,2,7)
+        G = (G * sw[..., None]).reshape(-1, 7)
+        M = jax.lax.dot_general(G, G, (((0,), (0,)), ((), ())),
+                                precision=jax.lax.Precision.HIGHEST)
+        JtJ, Jtr = M[:6, :6], M[:6, 6]
+        delta = smallmat.chol_solve(JtJ + damping * jnp.eye(6), -Jtr)
         delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
         R_new = rodrigues(delta[:3]) @ R
         t_new = t + delta[3:]
@@ -150,13 +161,32 @@ def _gauss_newton_refine(R, t, obj_pts, img_pts, w, K, iters: int = 8,
 
 
 def _sample_minimal_sets(key, valid, n_hyp: int, k: int = 6):
-    """(n_hyp, k) index sets drawn from the valid mask via Gumbel top-k
-    (sampling without replacement, no data-dependent loops)."""
+    """(n_hyp, k) index sets drawn from the valid mask.
+
+    ONE random permutation ranks the valid points first (Gumbel keys +
+    argsort); each hypothesis then takes a k-long block of that
+    permutation at a random offset modulo the valid count. Within a set,
+    indices are distinct whenever >= k points are valid (blocks of a
+    permutation); with fewer, indices wrap onto the valid subset — the
+    same degraded-to-valid-subset semantics the validity weights expect.
+
+    Replaces per-hypothesis Gumbel top-k: lax.top_k over an
+    (n_hyp, 4096) score matrix per candidate cost 93 ms of an engine
+    launch on TPU (one argsort per CANDIDATE amortizes over its ~100
+    hypotheses). Block-sampling from one permutation correlates
+    hypothesis sets slightly (adjacent points co-occur), which RANSAC is
+    insensitive to — consensus scoring sees every hypothesis against ALL
+    points regardless.
+    """
     n = valid.shape[0]
-    g = jax.random.gumbel(key, (n_hyp, n))
-    scores = jnp.where(valid[None, :], g, -jnp.inf)
-    _, idx = jax.lax.top_k(scores, k)
-    return idx
+    kp, kc = jax.random.split(key)
+    g = jax.random.gumbel(kp, (n,))
+    order = jnp.argsort(
+        jnp.where(valid, g, -jnp.inf), descending=True)  # valid first
+    n_valid = jnp.maximum(jnp.sum(valid).astype(jnp.int32), 1)
+    off = jax.random.randint(kc, (n_hyp, 1), 0, n_valid)
+    pos = (off + jnp.arange(k, dtype=jnp.int32)[None, :]) % n_valid
+    return order[pos]
 
 
 def pnp_ransac(obj_pts, img_pts, valid, K, key, *, iters: int = 100,
@@ -216,8 +246,10 @@ def pnp_ransac(obj_pts, img_pts, valid, K, key, *, iters: int = 100,
         h_w = valid[idx].astype(jnp.float32)
         ata = jax.vmap(_dlt_normal_matrix)(h_obj, h_cam, h_w)
         ata = jnp.where(jnp.isfinite(ata), ata, 0.0)
-        _, vecs = jnp.linalg.eigh(ata)
-        p_min = vecs[..., 0]  # (R, 12) smallest-eigenvalue vector
+        # pinned-DLT solve instead of eigh: XLA's batched Jacobi eigh on
+        # 12x12 was the single most expensive op of the whole engine
+        # (745 ms/launch on v5e — more than all the convs; smallmat.py)
+        p_min = smallmat.dlt_min_vec(ata)  # (R, 12)
         Rs, ts = jax.vmap(
             lambda p, sp: _pose_from_p(p, obj_mean, obj_scale, sp, K)
         )(p_min, h_obj)
@@ -246,6 +278,12 @@ def pnp_ransac(obj_pts, img_pts, valid, K, key, *, iters: int = 100,
     # global argmax (first maximum wins across and within chunks).
     finite = jnp.all(jnp.isfinite(Rs), axis=(1, 2)) & jnp.all(
         jnp.isfinite(ts), axis=1)
+    # hypothesis SELECTION scores on a strided point subset (the full set
+    # still defines the consensus mask below): selection among ~200
+    # hypotheses needs only relative inlier counts, and halving the
+    # points halves the dominant HBM traffic of the scoring scan
+    ss = 2 if obj_pts.shape[0] >= 1024 else 1
+    obj_s, img_s, val_s = obj_pts[::ss], img_pts[::ss], valid[::ss]
     ch = 25
     n_hyp = Rs.shape[0]
     pad = (-n_hyp) % ch
@@ -260,11 +298,11 @@ def pnp_ransac(obj_pts, img_pts, valid, K, key, *, iters: int = 100,
 
     def score_chunk(carry, rt):
         Rs_c, ts_c, fin_c = rt
-        proj = jax.vmap(lambda R, t: project(obj_pts, R, t, K))(Rs_c, ts_c)
-        err = jnp.linalg.norm(proj - img_pts[None], axis=-1)  # (ch, N)
-        depth = jnp.einsum("rj,nj->rn", Rs_c[:, 2, :], obj_pts) \
+        proj = jax.vmap(lambda R, t: project(obj_s, R, t, K))(Rs_c, ts_c)
+        err = jnp.linalg.norm(proj - img_s[None], axis=-1)  # (ch, N/ss)
+        depth = jnp.einsum("rj,nj->rn", Rs_c[:, 2, :], obj_s) \
             + ts_c[:, 2:3]
-        inl = (err < reproj_px) & valid[None, :] & (depth > 0)
+        inl = (err < reproj_px) & val_s[None, :] & (depth > 0)
         sc = jnp.where(fin_c, jnp.sum(inl, axis=1), -1)
         b = jnp.argmax(sc)
         c_sc, c_R, c_t = carry
@@ -299,8 +337,8 @@ def pnp_ransac(obj_pts, img_pts, valid, K, key, *, iters: int = 100,
     w_fit = jnp.where(enough, w_in, wf)  # degenerate fallback: all valid
     ata_all = _dlt_normal_matrix(obj_n, cam_n, w_fit)
     ata_all = jnp.where(jnp.isfinite(ata_all), ata_all, 0.0)
-    _, vecs_all = jnp.linalg.eigh(ata_all)
-    R_fit, t_fit = _pose_from_p(vecs_all[:, 0], obj_mean, obj_scale,
+    p_all = smallmat.dlt_min_vec(ata_all)  # pinned solve, not eigh
+    R_fit, t_fit = _pose_from_p(p_all, obj_mean, obj_scale,
                                 obj_n * w_fit[:, None], K)
     fit_ok = jnp.all(jnp.isfinite(R_fit)) & jnp.all(jnp.isfinite(t_fit))
     R_fit = jnp.where(fit_ok, R_fit, best_R)

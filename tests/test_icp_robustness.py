@@ -72,15 +72,19 @@ def test_no_catastrophic_divergence_outside_basin(refiner_and_mesh):
 
 
 def test_ar_sensitivity_to_icp_quality(tmp_path):
-    """A/B on the multishape RGB-D eval with a systematically
-    miscalibrated generator (coord_rot_deg=10 -> every RGB pose exactly
-    10 deg off): full-strength ICP must pull the pose back near GT where
-    a crippled (1-iteration) refiner cannot — quantifying how much of the
-    RGB-D AR machinery rides on ICP quality. Two designs that DON'T work:
-    a perfect oracle (initial poses already sub-mm, A/B is noise —
-    measured 0.58 vs 0.61 mm) and a depth-scale bias (the evaluator's
-    depth prealignment wipes it before ICP runs — measured 0.81 mm
-    residual at 1 iteration)."""
+    """A/B on the multishape eval with a systematically miscalibrated
+    generator (coord_rot_deg=10 -> RGB poses ~10 deg off, with occasional
+    catastrophic PnP failures where the clipped-coordinate plane wins the
+    consensus): the RGB-D/ICP evaluator must recover a sub-mm MEDIAN pose
+    where the RGB evaluator cannot — quantifying how much accuracy the
+    ICP stage contributes when initial poses are wrong. Notes from
+    designs that DON'T discriminate: a perfect oracle (RGB already
+    sub-mm, A/B is noise — 0.58 vs 0.61 mm), a depth-scale bias (the
+    evaluator's depth prealignment wipes it before ICP runs), and an
+    icp_iters=1-vs-30 A/B (prealignment + ONE point-to-plane GN step
+    already lands in-basin poses at ~0.6 mm median). Medians, not means:
+    which detections PnP fails on is RANSAC seed chaos, and those land
+    outside any ICP basin for every refiner."""
     import jax
 
     from bop_fixture import (SHAPE_BANDS, build_multishape_dataset,
@@ -88,6 +92,7 @@ def test_ar_sensitivity_to_icp_quality(tmp_path):
     from synthetic import BandOracleGenerator, band_oracle_params
     from pix2pose_tpu.config import EvalConfig
     from pix2pose_tpu.data import BopDataset
+    from pix2pose_tpu.eval.bop_eval import BopEvaluator
     from pix2pose_tpu.eval.bop_eval_icp import BopEvaluatorICP
     from pix2pose_tpu.inference import Pix2PoseEstimator
     from pix2pose_tpu.inference.detector import GtDetector
@@ -107,12 +112,8 @@ def test_ar_sensitivity_to_icp_quality(tmp_path):
     meshes = {o: (objs[o][0], objs[o][1]) for o in objs}
     gt = {(s, i): per for s, i, per in entries}
 
-    def mean_add(icp_iters):
-        est = Pix2PoseEstimator(model, cfg.estimator(0))
-        ev = BopEvaluatorICP(ds, cfg, est, params_by_obj, obj_params,
-                             meshes, GtDetector(ds, jitter=3), max_det=4,
-                             batched=True, icp_iters=icp_iters)
-        results = ev.run(key=jax.random.PRNGKey(3))
+    def median_add(evaluator):
+        results = evaluator.run(key=jax.random.PRNGKey(3))
         errs = []
         for r in results:
             R_gt, t_gt = gt[(r["scene_id"], r["im_id"])][r["obj_id"]]
@@ -121,12 +122,16 @@ def test_ar_sensitivity_to_icp_quality(tmp_path):
             b = pts @ R_gt.T + t_gt
             errs.append(np.mean(np.linalg.norm(a - b, axis=1)))
         assert errs, "eval produced no results"
-        return float(np.mean(errs))
+        return float(np.median(errs))
 
-    add_full = mean_add(30)
-    add_weak = mean_add(1)
-    # full ICP must recover most of the injected rotation; the crippled
-    # refiner cannot
-    assert add_full < 0.5 * add_weak, (add_full, add_weak)
-    assert add_full < 2.5, add_full
-    assert add_weak > 2.5, add_weak  # the bias really was injected
+    add_rgb = median_add(BopEvaluator(
+        ds, cfg, Pix2PoseEstimator(model, cfg.estimator(0)), params_by_obj,
+        obj_params, GtDetector(ds, jitter=3), max_det=4))
+    add_icp = median_add(BopEvaluatorICP(
+        ds, cfg, Pix2PoseEstimator(model, cfg.estimator(0)), params_by_obj,
+        obj_params, meshes, GtDetector(ds, jitter=3), max_det=4,
+        batched=True))
+    # ICP must recover most of the injected bias (measured: ~18 mm -> ~0.6)
+    assert add_icp < 0.3 * add_rgb, (add_icp, add_rgb)
+    assert add_icp < 2.0, add_icp
+    assert add_rgb > 3.0, add_rgb  # the bias really was injected
