@@ -83,23 +83,56 @@ def load_ply(path):
             result["texture_uv"] = np.stack(
                 [v["texture_u"], v["texture_v"]], axis=1).astype(np.float32)
     if "face" in out:
-        result["faces"] = out["face"]
+        face = out["face"]
+        if isinstance(face, dict):  # face-wise texcoord variant
+            result["faces"] = face["faces"]
+            # scatter per-face-corner UVs onto vertices, last write wins —
+            # the reference's exact (lossy) collation, ``model.py:106-113``
+            tc = face["texcoord"].reshape(-1, 2)
+            uv = np.zeros((result["pts"].shape[0], 2), np.float32)
+            uv[face["faces"].reshape(-1)] = tc
+            result.setdefault("texture_uv", uv)
+        else:
+            result["faces"] = face
     return result
 
 
 def _parse_ascii(el, rows):
     has_list = any(p[0] == "list" for p in el["props"])
     if has_list:
-        faces = []
+        faces, texcoords = [], []
         for r in rows:
-            n = int(r[0])
-            idx = [int(x) for x in r[1:1 + n]]
+            pos = 0
+            fields = {}
+            for p in el["props"]:
+                if p[0] == "list":
+                    n = int(r[pos])
+                    fields[p[3]] = r[pos + 1:pos + 1 + n]
+                    pos += 1 + n
+                else:
+                    fields[p[2]] = r[pos]
+                    pos += 1
+            idx = [int(x) for x in fields.get("vertex_indices",
+                                              fields.get("vertex_index",
+                                                         []))]
+            tc = [float(x) for x in fields.get("texcoord", [])]
+            n = len(idx)
             if n == 3:
                 faces.append(idx)
+                if tc:
+                    texcoords.append(tc)
             elif n == 4:  # triangulate quads
                 faces.append(idx[:3])
                 faces.append([idx[0], idx[2], idx[3]])
-        return np.asarray(faces, np.int32)
+                if tc:
+                    texcoords.append(tc[:6])
+                    texcoords.append([tc[0], tc[1], tc[4], tc[5],
+                                      tc[6], tc[7]])
+        faces = np.asarray(faces, np.int32)
+        if texcoords:
+            return {"faces": faces,
+                    "texcoord": np.asarray(texcoords, np.float32)}
+        return faces
     cols = {}
     arr = np.asarray(rows, np.float64)
     for i, (_, _, name) in enumerate(el["props"]):
@@ -114,9 +147,13 @@ def _parse_binary(el, f, endian):
                        for p in el["props"]])
         data = np.frombuffer(f.read(dt.itemsize * el["count"]), dt)
         return {name: data[name] for name in data.dtype.names}
-    # list property (faces) — possibly mixed with scalars; handle the common
-    # case of a single list property, fixed arity probed from the first face
+    # list properties (faces, optionally face-wise texcoord as in the
+    # reference's textured models, ``rendering/model.py:106-109``); fixed
+    # arity probed from the first record
     props = el["props"]
+    if len(props) == 2 and all(p[0] == "list" for p in props) \
+            and {p[3] for p in props} >= {"texcoord"}:
+        return _parse_binary_face_texcoord(el, f, endian)
     if len(props) != 1:
         raise ValueError("unsupported face element with extra properties")
     _, cnt_t, idx_t, _ = props[0]
@@ -149,6 +186,82 @@ def _parse_binary(el, f, endian):
         tris = np.concatenate([idx[:, :3], idx[:, [0, 2, 3]]], axis=0)
         return tris.astype(np.int32)
     raise ValueError(f"unsupported face arity {first_n}")
+
+
+def _parse_binary_face_texcoord(el, f, endian):
+    """Face element with two list props (vertex_indices + texcoord).
+
+    Assumes fixed arity probed from the first record (triangles with 6
+    texcoord floats is the layout the reference's textured models use);
+    falls back to a per-record loop when arities vary.
+    """
+    props = {p[3]: p for p in el["props"]}
+    order = [p[3] for p in el["props"]]
+    dts = {name: (np.dtype(endian + _DTYPES[p[1]]),
+                  np.dtype(endian + _DTYPES[p[2]]))
+           for name, p in props.items()}
+    start = f.tell()
+    # probe first record's arities in property order
+    arity = {}
+    for name in order:
+        cnt_dt, item_dt = dts[name]
+        n = int(np.frombuffer(f.read(cnt_dt.itemsize), cnt_dt)[0])
+        f.seek(item_dt.itemsize * n, 1)
+        arity[name] = n
+    f.seek(start)
+    fields = []
+    for name in order:
+        cnt_dt, item_dt = dts[name]
+        fields += [(f"n_{name}", cnt_dt),
+                   (name, item_dt, (arity[name],))]
+    rec = np.dtype(fields)
+    raw = f.read(rec.itemsize * el["count"])
+    data = np.frombuffer(raw, rec, count=el["count"])
+    fixed = all((data[f"n_{name}"] == arity[name]).all() for name in order)
+    if not fixed:
+        f.seek(start)
+        rows = []
+        for _ in range(el["count"]):
+            row = {}
+            for name in order:
+                cnt_dt, item_dt = dts[name]
+                n = int(np.frombuffer(f.read(cnt_dt.itemsize), cnt_dt)[0])
+                row[name] = np.frombuffer(
+                    f.read(item_dt.itemsize * n), item_dt, count=n)
+            rows.append(row)
+        idx_name = ("vertex_indices" if "vertex_indices" in props
+                    else "vertex_index")
+        return {"faces": np.asarray([r[idx_name] for r in rows], np.int32),
+                "texcoord": np.asarray([r["texcoord"] for r in rows],
+                                       np.float32)}
+    idx_name = ("vertex_indices" if "vertex_indices" in props
+                else "vertex_index")
+    return {"faces": data[idx_name].astype(np.int32),
+            "texcoord": data["texcoord"].astype(np.float32)}
+
+
+def find_texture(ply_path):
+    """Sibling texture image for a mesh, reference discovery rule
+    (``rendering/model.py:94-99``): ``<stem>.jpg`` then ``<stem>.png``
+    next to the PLY. Returns the path or None."""
+    import os
+
+    stem = os.path.splitext(ply_path)[0]
+    for ext in (".jpg", ".png"):
+        if os.path.exists(stem + ext):
+            return stem + ext
+    return None
+
+
+def load_texture(path):
+    """Decode a texture image to (Ht, Wt, 3) float32 in [0, 255],
+    image-row order (row 0 = top). The GL vertical flip the reference
+    applies at load (``model.py:103``) is instead folded into
+    :func:`pix2pose_tpu.ops.texture.sample_texture`'s coordinates."""
+    from PIL import Image
+
+    img = np.asarray(Image.open(path).convert("RGB"), np.uint8)
+    return img.astype(np.float32)
 
 
 def save_ply(path, pts, faces=None, colors=None, normals=None):

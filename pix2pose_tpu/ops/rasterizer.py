@@ -211,8 +211,47 @@ def render_lit(verts, faces, colors, normals, R, t, K, h: int, w: int,
     Args:
       colors: (V, C) base vertex colors. normals: (V, 3) unit normals.
     """
-    n_cam = normals @ jnp.asarray(R, jnp.float32).T
-    lam = jnp.clip(-n_cam[:, 2], 0.0, 1.0)
-    shade = ambient + diffuse * lam
+    shade = _headlight_shade(normals, R, ambient, diffuse)
     lit = jnp.asarray(colors, jnp.float32) * shade[:, None]
     return render_mesh(verts, faces, lit, R, t, K, h, w, **kw)
+
+
+def _headlight_shade(normals, R, ambient: float, diffuse: float):
+    """Per-vertex headlight Lambertian term, clipped at 1 like the GL
+    shader (``renderer.py:44-46``: ``min(1, ambient + 0.5 * diffuse)``).
+    The reference shades with flat face normals (dFdx/dFdy); vertex
+    normals give the smooth-shaded equivalent."""
+    n_cam = normals @ jnp.asarray(R, jnp.float32).T
+    lam = jnp.clip(-n_cam[:, 2], 0.0, 1.0)
+    return jnp.minimum(ambient + diffuse * lam, 1.0)
+
+
+def render_textured(verts, faces, uv_coords, texture, normals, R, t, K,
+                    h: int, w: int, ambient: float = 0.5,
+                    diffuse: float = 0.5, **kw) -> RenderOut:
+    """UV-textured lit render (the reference's textured GL program,
+    ``rendering/renderer.py:50-79``): per-vertex UVs are interpolated
+    perspective-correct alongside a headlight shade term, then the texture
+    is sampled bilinearly per covered pixel and modulated —
+    ``gl_FragColor = texture2D(u_tex, v_texcoord) * light_w``.
+
+    Args:
+      uv_coords: (V, 2) GL texture coordinates (v up from the bottom; the
+        image flip of ``model.py:103`` is handled by the sampler).
+      texture: (Ht, Wt, C) texture image, image-row order, any range
+        (output attr is in the texture's range).
+      normals: (V, 3) unit vertex normals for the shade term.
+
+    Returns :class:`RenderOut` whose ``attr`` is the shaded (h, w, C) RGB.
+    """
+    from pix2pose_tpu.ops.texture import sample_texture
+
+    shade = _headlight_shade(normals, R, ambient, diffuse)
+    attrs = jnp.concatenate(
+        [jnp.asarray(uv_coords, jnp.float32), shade[:, None]], axis=1)
+    out = render_mesh(verts, faces, attrs, R, t, K, h, w, **kw)
+    rgb = sample_texture(texture, out.attr[..., :2])
+    rgb = rgb * jnp.clip(out.attr[..., 2:3], 0.0, 1.0)
+    rgb = jnp.where(out.mask[..., None], rgb, 0.0)
+    return RenderOut(depth=out.depth, attr=rgb, mask=out.mask,
+                     overflow=out.overflow)

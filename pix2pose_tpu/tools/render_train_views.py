@@ -4,8 +4,10 @@ poses copied from a reference dataset's ``scene_gt.json`` and write a
 BOP-layout ``train/`` split (rgb + scene_camera + scene_gt).
 
 The reference uses the lit OpenGL renderer; here the JAX rasterizer renders
-shaded vertex-color images (Lambertian headlight on face normals, matching
-the reference's diffuse+ambient look, ``rendering/renderer.py:13-81``).
+shaded vertex-color images (Lambertian headlight, matching the reference's
+diffuse+ambient look, ``rendering/renderer.py:13-81``) — or, when the model
+ships a sibling texture image + UVs (YCB-V style), UV-textured renders via
+``rasterizer.render_textured`` (reference ``renderer.py:50-79``).
 
 CLI: python -m pix2pose_tpu.tools.render_train_views <cfg.json> <dataset>
          <pose_source_dir> [--per-obj N]
@@ -23,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from pix2pose_tpu.data.bop import BopDataset
-from pix2pose_tpu.data.ply import load_ply
+from pix2pose_tpu.data.ply import find_texture, load_ply, load_texture
 from pix2pose_tpu.ops import rasterizer
 
 
@@ -74,23 +76,43 @@ def render_train_split(ds: BopDataset, pose_source_dir: str,
     K = ds.cam_k
     n_written = 0
     for obj_id in ds.model_ids:
-        mesh = load_ply(ds.model_ply_path(obj_id))
+        ply_path = ds.model_ply_path(obj_id)
+        mesh = load_ply(ply_path)
         base, normals = _shaded_colors(mesh)
+        # UV-textured models (YCB-V style) render through the textured
+        # path — the reference's textured GL program
+        # (``rendering/renderer.py:50-79``); vertex colors otherwise
+        tex_path = find_texture(ply_path)
+        textured = tex_path is not None and "texture_uv" in mesh
+        if textured:
+            texture = jnp.asarray(load_texture(tex_path))
+            uvs = mesh["texture_uv"].astype(np.float32)
         sdir = os.path.join(ds.dir, "train", f"{obj_id:06d}")
         os.makedirs(os.path.join(sdir, "rgb"), exist_ok=True)
         os.makedirs(os.path.join(sdir, "mask"), exist_ok=True)
         cam_json, gt_json = {}, {}
+        if textured:
+            render_tex = jax.jit(
+                lambda v, f, uv, n, R, t: rasterizer.render_textured(
+                    v, f, uv, texture, n, R, t, K, im_h, im_w,
+                    diffuse=0.5 if shade else 0.0,
+                    ambient=0.5 if shade else 1.0))
         render = jax.jit(lambda v, f, a, R, t: rasterizer.render_mesh(
             v, f, a, R, t, K, im_h, im_w))
         for i, (R, t) in enumerate(poses):
-            if shade:
-                n_cam = normals @ R.T
-                lam = np.clip(-n_cam[:, 2], 0.0, 1.0)
-                cols = np.clip(base * (0.5 + 0.5 * lam[:, None]), 0, 255)
+            if textured:
+                out = render_tex(mesh["pts"], mesh["faces"], uvs,
+                                 normals.astype(np.float32), R, t)
             else:
-                cols = base
-            out = render(mesh["pts"], mesh["faces"],
-                         cols.astype(np.float32), R, t)
+                if shade:
+                    n_cam = normals @ R.T
+                    lam = np.clip(-n_cam[:, 2], 0.0, 1.0)
+                    cols = np.clip(base * (0.5 + 0.5 * lam[:, None]), 0,
+                                   255)
+                else:
+                    cols = base
+                out = render(mesh["pts"], mesh["faces"],
+                             cols.astype(np.float32), R, t)
             mask = np.asarray(out.mask)
             rgb = np.zeros((im_h, im_w, 3), np.uint8)
             rgb[mask] = np.clip(np.asarray(out.attr)[mask], 0,
