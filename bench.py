@@ -11,6 +11,27 @@ Baseline derivation: the reference runs one crop at a time through TF1
 20 crops/sec as the reference point for vs_baseline (no official number is
 checked in; see BASELINE.md).
 
+Timing methodology — COMPLETION-VERIFIED (round-3 rework). Through the
+axon relay ``jax.block_until_ready`` returns before execution completes,
+so dispatch-then-block windows measure queueing, not compute (round-2
+bench published a number ~5.9x the chip's bf16 peak that way). Here every
+timed window is provably executed:
+
+  - inputs are device-resident (one ``device_put`` before timing),
+  - launches are CHAINED: launch i+1's RANSAC key derives from a scalar
+    reduced from launch i's outputs, so the final carry transitively
+    depends on every launch in the window,
+  - each window ends with a 4-byte host read of the carry, proving the
+    window's launches all executed,
+  - the program's analytic FLOPs (XLA ``cost_analysis``) convert the rate
+    to an implied MFU; any result over the chip's peak is refused.
+
+The first host read of a process flips the relay into its degraded launch
+mode (CLAUDE.md pathology 1) and the flip is performed BEFORE timing, so
+the published number is a lower bound on device capability but is real,
+completion-verified throughput. Trials run in fresh subprocesses (the
+relay pins a process into a fast or slow mode at random).
+
 Measured configuration: bf16 conv compute (fp32 params/PnP), 8 images x 16
 padded detections x 3 outlier thresholds per program launch.
 """
@@ -23,21 +44,54 @@ import numpy as np
 
 
 REFERENCE_CROPS_PER_SEC = 20.0
+V5E_BF16_PEAK_FLOPS = 197e12
 
 
-def _median_rate(run_once, crops_per_iter, windows=7, iters=10):
+def _bench_chained(step_fn, step_args, crops_per_launch, windows=4,
+                   k_per_window=8):
+    """AOT-compile ``step_fn(*step_args, carry, salt) -> carry`` and time
+    chained-launch windows, each completion-verified by a host read of the
+    int32 carry. Returns a dict with the median rate, launch latency,
+    analytic FLOPs and implied MFU."""
     import jax
+    import jax.numpy as jnp
+
+    # flip the relay's read path up front so timed windows are all in the
+    # same (degraded-but-readable) regime
+    _ = np.asarray(jax.device_put(np.zeros((1,), np.float32)))
+
+    step = jax.jit(step_fn)
+    compiled = step.lower(*step_args, jnp.int32(0), jnp.int32(0)).compile()
+    cost = compiled.cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0]
+    flops = float(cost.get("flops", -1.0)) if cost else -1.0
+
+    carry = compiled(*step_args, jnp.int32(0), jnp.int32(1))
+    _ = int(np.asarray(carry))  # warmup launch + read
 
     rates = []
-    for w in range(windows):
+    salt = 2
+    for _w in range(windows):
         t0 = time.perf_counter()
-        out = None
-        for i in range(iters):
-            out = run_once(w * iters + i)
-        jax.block_until_ready(out)
-        rates.append(crops_per_iter * iters / (time.perf_counter() - t0))
+        for _ in range(k_per_window):
+            salt += 1
+            carry = compiled(*step_args, carry, jnp.int32(salt))
+        _ = int(np.asarray(carry))  # proves completion of the chain
+        dt = time.perf_counter() - t0
+        rates.append(crops_per_launch * k_per_window / dt)
     rates.sort()
-    return rates[len(rates) // 2]
+    med = rates[len(rates) // 2]
+    mfu = (med / crops_per_launch * flops / V5E_BF16_PEAK_FLOPS * 100.0
+           if flops > 0 else None)
+    if mfu is not None and mfu > 100.0:
+        raise SystemExit(
+            f"REFUSING impossible result: {med:.0f} crops/s implies "
+            f"{mfu:.0f}% MFU (> chip peak) — timing is not "
+            f"completion-verified")
+    return {"crops_per_s": med, "launch_ms": crops_per_launch / med * 1e3,
+            "flops_per_launch": flops, "implied_mfu_pct": mfu,
+            "window_rates": [round(r, 1) for r in rates]}
 
 
 def main_multi_object():
@@ -65,31 +119,43 @@ def main_multi_object():
         model, EstimatorConfig(outlier_th=(0.15, 0.25, 0.35)))
 
     rng = np.random.RandomState(0)
-    rgb = rng.randint(0, 255, (im_h, im_w, 3)).astype(np.uint8)
+    rgb = jax.device_put(
+        rng.randint(0, 255, (im_h, im_w, 3)).astype(np.uint8))
     bboxes = np.zeros((n_obj, n_det, 4), np.int32)
     for o in range(n_obj):
         for i in range(n_det):
             v0, u0 = rng.randint(0, im_h - 140), rng.randint(0, im_w - 140)
             bboxes[o, i] = [v0, u0, v0 + rng.randint(60, 130),
                             u0 + rng.randint(60, 130)]
-    det_valid = np.ones((n_obj, n_det), bool)
+    bboxes = jax.device_put(bboxes)
+    det_valid = jax.device_put(np.ones((n_obj, n_det), bool))
     obj_params = jnp.tile(
         jnp.asarray([40., 40., 40., 0., 0., 0.], jnp.float32)[None],
         (n_obj, 1))
-    key = jax.random.PRNGKey(0)
+    th = jnp.tile(jnp.asarray(est.cfg.outlier_th)[None], (n_obj, 1))
 
-    def run(i):
-        keys = jax.random.split(jax.random.fold_in(key, i), n_obj)
-        return est.estimate_objects(stacked, rgb, bboxes, det_valid,
-                                    cam_k, obj_params, keys).R
+    def step(stacked, rgb, bboxes, det_valid, cam_k, obj_params, th,
+             carry, salt):
+        keys = jax.random.split(
+            jax.random.fold_in(jax.random.PRNGKey(7), carry + salt), n_obj)
+        out = jax.vmap(
+            lambda p, bb, dv, op, k, t: est._estimate(
+                p, rgb, bb, dv, cam_k, op, k, outlier_th=t),
+            in_axes=(0, 0, 0, 0, 0, 0))(stacked, bboxes, det_valid,
+                                         obj_params, keys, th)
+        return (jnp.abs(jnp.sum(out.t)).astype(jnp.int32) + salt) % 1000003
 
-    jax.block_until_ready(run(0))  # compile
-    rate = _median_rate(run, n_obj * n_det)
+    r = _bench_chained(
+        step, (stacked, rgb, bboxes, det_valid, cam_k, obj_params, th),
+        n_obj * n_det)
     print(json.dumps({
         "metric": "crops/sec, all-objects-one-launch "
-                  "(8 objects x 4 det, object-vmap)",
-        "value": round(rate, 2), "unit": "crops/s",
-        "vs_baseline": round(rate / REFERENCE_CROPS_PER_SEC, 2),
+                  "(8 objects x 4 det, object-vmap, completion-verified)",
+        "value": round(r["crops_per_s"], 2), "unit": "crops/s",
+        "vs_baseline": round(r["crops_per_s"] / REFERENCE_CROPS_PER_SEC, 2),
+        "launch_ms": round(r["launch_ms"], 2),
+        "implied_mfu_pct": (round(r["implied_mfu_pct"], 2)
+                            if r["implied_mfu_pct"] is not None else None),
         "device": str(jax.devices()[0])}))
 
 
@@ -116,7 +182,8 @@ def main():
         model, EstimatorConfig(outlier_th=(0.15, 0.25, 0.35)))
 
     rng = np.random.RandomState(0)
-    rgbs = rng.randint(0, 255, (n_img, im_h, im_w, 3)).astype(np.uint8)
+    rgbs = jax.device_put(
+        rng.randint(0, 255, (n_img, im_h, im_w, 3)).astype(np.uint8))
     bboxes = np.zeros((n_img, n_det, 4), np.int32)
     for b in range(n_img):
         for i in range(n_det):
@@ -124,38 +191,33 @@ def main():
             u0 = rng.randint(0, im_w - 140)
             bboxes[b, i] = [v0, u0, v0 + rng.randint(60, 130),
                             u0 + rng.randint(60, 130)]
-    det_valid = np.ones((n_img, n_det), bool)
-    key = jax.random.PRNGKey(0)
+    bboxes = jax.device_put(bboxes)
+    det_valid = jax.device_put(np.ones((n_img, n_det), bool))
 
-    # warm-up / compile
-    out = est.estimate_batch(params, rgbs, bboxes, det_valid, cam_k,
-                             obj_param, jax.random.split(key, n_img))
-    jax.block_until_ready(out.R)
+    def step(params, rgbs, bboxes, det_valid, cam_k, obj_param, carry,
+             salt):
+        keys = jax.random.split(
+            jax.random.fold_in(jax.random.PRNGKey(7), carry + salt), n_img)
+        out = jax.vmap(est._estimate,
+                       in_axes=(None, 0, 0, 0, 0, None, 0))(
+            params, rgbs, bboxes, det_valid, cam_k, obj_param, keys)
+        return (jnp.abs(jnp.sum(out.t)).astype(jnp.int32) + salt) % 1000003
 
-    # Several independent timing windows; report the MEDIAN window. The
-    # axon tunnel's per-launch overhead is bimodal run to run (see
-    # CLAUDE.md), so a single window under- or over-states steady-state
-    # throughput by up to ~1.7x. Median-of-windows is what we claim.
-    windows, iters = 7, 10
-    rates = []
-    for w in range(windows):
-        t0 = time.perf_counter()
-        for i in range(iters):
-            out = est.estimate_batch(
-                params, rgbs, bboxes, det_valid, cam_k, obj_param,
-                jax.random.split(jax.random.fold_in(key, w * iters + i),
-                                 n_img))
-        jax.block_until_ready(out.R)
-        rates.append(n_img * n_det * iters / (time.perf_counter() - t0))
-    rates.sort()
-    crops_per_sec = rates[len(rates) // 2]
-    per_image_ms = n_det / crops_per_sec * 1000.0
+    r = _bench_chained(
+        step, (params, rgbs, bboxes, det_valid, cam_k, obj_param),
+        n_img * n_det)
+    per_image_ms = n_det / r["crops_per_s"] * 1000.0
     result = {
-        "metric": "detection crops/sec/chip (AE+PnP-RANSAC, two-stage)",
-        "value": round(crops_per_sec, 2),
+        "metric": "detection crops/sec/chip (AE+PnP-RANSAC two-stage, "
+                  "completion-verified chained launches)",
+        "value": round(r["crops_per_s"], 2),
         "unit": "crops/s",
-        "vs_baseline": round(crops_per_sec / REFERENCE_CROPS_PER_SEC, 2),
+        "vs_baseline": round(r["crops_per_s"] / REFERENCE_CROPS_PER_SEC, 2),
         "p50_image_ms_16det": round(per_image_ms, 2),
+        "launch_ms": round(r["launch_ms"], 2),
+        "flops_per_launch": r["flops_per_launch"],
+        "implied_mfu_pct": (round(r["implied_mfu_pct"], 2)
+                            if r["implied_mfu_pct"] is not None else None),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
@@ -175,7 +237,7 @@ def main_trials(n_trials: int = 3):
     for i in range(n_trials):
         p = subprocess.run([sys.executable, os.path.abspath(__file__),
                             "--worker"], capture_output=True, text=True,
-                           timeout=900)
+                           timeout=1800)
         line = None
         for ln in (p.stdout or "").splitlines():
             ln = ln.strip()

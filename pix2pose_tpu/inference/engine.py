@@ -69,35 +69,51 @@ class PoseEstimate(NamedTuple):
     area_scale: jnp.ndarray   # (N,) full-res px per grid px (Hc*Wc/S^2)
 
 
+def _axis_resample_weights(out_centers, lo_ori1, len1, size: int):
+    """(S_out, S_src) bilinear weight matrix for one axis of the stage-1 →
+    stage-2 grid map: row i holds the two-tap weights of output center i
+    in stage-1 grid coordinates, with taps outside [0, size) dropped
+    (zero padding). Built by exact integer-valued-float comparison so the
+    matmul reproduces the gather formulation's taps."""
+    g = (out_centers - lo_ori1 + 0.5) * size / len1 - 0.5
+    i0 = jnp.floor(g)
+    f = g - i0
+    idx = jnp.arange(size, dtype=jnp.float32)
+    return (jnp.where(i0[:, None] == idx[None, :], 1.0 - f[:, None], 0.0)
+            + jnp.where(i0[:, None] + 1.0 == idx[None, :], f[:, None], 0.0))
+
+
 def _stage2_mask_on_grid(fg_prob, box1: CropBox, box2: CropBox, size: int):
     """Resample the stage-1 foreground mask (stage-1 grid frame) onto the
     stage-2 grid, thresholding at 0.9 like the reference's
     ``resize(non_gray_prob, ...) > 0.9`` (``recognition.py:103``). Grid
     points outside the image see mask 0 (reference builds ``bg_full`` as
-    all-background outside the window, ``recognition.py:105-106``)."""
-    # stage-2 grid -> full image coords
-    vv, uu, in_img = crop_ops.crop_pixel_centers(box2, size)
-    # full image -> stage-1 grid coords
-    h1 = jnp.asarray(box1.height, jnp.float32)
-    w1 = jnp.asarray(box1.width, jnp.float32)
-    g_v = (vv - jnp.asarray(box1.v1_ori, jnp.float32) + 0.5) * size / h1 - 0.5
-    g_u = (uu - jnp.asarray(box1.u1_ori, jnp.float32) + 0.5) * size / w1 - 0.5
-    # bilinear sample with zero padding
-    v0 = jnp.floor(g_v).astype(jnp.int32)
-    u0 = jnp.floor(g_u).astype(jnp.int32)
-    fv = g_v - v0
-    fu = g_u - u0
+    all-background outside the window, ``recognition.py:105-106``).
 
-    def tap(vi, ui):
-        ok = (vi >= 0) & (vi < size) & (ui >= 0) & (ui < size)
-        val = fg_prob[jnp.clip(vi, 0, size - 1), jnp.clip(ui, 0, size - 1)]
-        return jnp.where(ok, val, 0.0)
-
-    samp = (tap(v0, u0) * (1 - fv) * (1 - fu)
-            + tap(v0, u0 + 1) * (1 - fv) * fu
-            + tap(v0 + 1, u0) * fv * (1 - fu)
-            + tap(v0 + 1, u0 + 1) * fv * fu)
-    return (samp > 0.9) & in_img
+    The grid→grid map is an axis-aligned affine, so the bilinear resample
+    is SEPARABLE: two (S, S) weight matmuls on the MXU instead of 4-tap
+    gathers per pixel (the gather form cost ~81 ms of a 238 ms engine
+    launch on v5e — ablation-measured). ``fg_prob`` may carry leading
+    batch axes (e.g. the T outlier thresholds): (..., S, S).
+    """
+    i = jnp.arange(size, dtype=jnp.float32)
+    cv = (jnp.asarray(box2.v1_ori, jnp.float32)
+          + (i + 0.5) * jnp.asarray(box2.height, jnp.float32) / size - 0.5)
+    cu = (jnp.asarray(box2.u1_ori, jnp.float32)
+          + (i + 0.5) * jnp.asarray(box2.width, jnp.float32) / size - 0.5)
+    w_v = _axis_resample_weights(
+        cv, jnp.asarray(box1.v1_ori, jnp.float32),
+        jnp.asarray(box1.height, jnp.float32), size)
+    w_u = _axis_resample_weights(
+        cu, jnp.asarray(box1.u1_ori, jnp.float32),
+        jnp.asarray(box1.width, jnp.float32), size)
+    samp = jnp.einsum("iv,...vu,ju->...ij", w_v, fg_prob, w_u,
+                      precision=jax.lax.Precision.HIGHEST)
+    in_v = ((cv >= jnp.asarray(box2.v1, jnp.float32))
+            & (cv < jnp.asarray(box2.v2, jnp.float32)))
+    in_u = ((cu >= jnp.asarray(box2.u1, jnp.float32))
+            & (cu < jnp.asarray(box2.u2, jnp.float32)))
+    return (samp > 0.9) & in_v[:, None] & in_u[None, :]
 
 
 def _select(tree, idx):
@@ -334,10 +350,10 @@ class Pix2PoseEstimator:
         # per-threshold foreground prob mask on the stage-1 grid
         fg_th = (fg1[:, None] & (prob1[:, None] < th_o[None, :, None, None]))
         cand_ok = jnp.sum(fg_th, axis=(2, 3)) >= cfg.min_stage1_px  # (N,T)
-        mask2 = jax.vmap(  # over detections
-            lambda m, b1, b2: jax.vmap(
-                lambda mt: _stage2_mask_on_grid(mt.astype(jnp.float32), b1,
-                                                b2, size))(m)
+        mask2 = jax.vmap(  # over detections; T thresholds ride the
+            # leading batch axis of the separable-matmul resample
+            lambda m, b1, b2: _stage2_mask_on_grid(
+                m.astype(jnp.float32), b1, b2, size)
         )(fg_th, box1, box2)  # (N,T,S,S) bool
         stage2_in = crops2[:, None] * mask2[..., None].astype(jnp.float32)
 

@@ -150,3 +150,59 @@ def test_engine_batch_sharded_over_mesh(estimator):
     # iterations amplify the last-ulp differences
     np.testing.assert_allclose(np.asarray(out.t), np.asarray(ref.t),
                                atol=0.2)
+
+
+def test_stage2_mask_separable_matches_gather_oracle():
+    """The separable-matmul stage-1→stage-2 mask resample must reproduce
+    the 4-tap gather formulation (the reference's resize>0.9 semantics,
+    ``recognition.py:103-106``) exactly — same taps, same zero padding
+    outside the stage-1 grid, same in-image gating."""
+    from pix2pose_tpu.inference.engine import _stage2_mask_on_grid
+    from pix2pose_tpu.ops.boxes import get_boxes
+
+    size = 64
+    rs = np.random.RandomState(3)
+    fg = (rs.rand(2, size, size) < 0.4).astype(np.float32)
+    # smooth a bit so thresholding at 0.9 exercises interpolated values
+    fg = fg * rs.rand(2, size, size).astype(np.float32) + 0.55
+    b1 = get_boxes(jnp.asarray([40.0, 30.0, 200.0, 170.0]), 240, 320)
+    b2 = get_boxes(jnp.asarray([80.0, 60.0, 190.0, 150.0]), 240, 320,
+                   ct=jnp.asarray([130.0, 100.0]), max_w=float(
+                       np.asarray(b1.v2_ori - b1.v1_ori)))
+
+    got = np.asarray(_stage2_mask_on_grid(jnp.asarray(fg), b1, b2, size))
+
+    # numpy gather oracle
+    def centers(box):
+        i = np.arange(size, dtype=np.float64)
+        cv = float(box.v1_ori) + (i + 0.5) * float(box.height) / size - 0.5
+        cu = float(box.u1_ori) + (i + 0.5) * float(box.width) / size - 0.5
+        return cv, cu
+
+    cv, cu = centers(b2)
+    g_v = (cv - float(b1.v1_ori) + 0.5) * size / float(b1.height) - 0.5
+    g_u = (cu - float(b1.u1_ori) + 0.5) * size / float(b1.width) - 0.5
+    v0 = np.floor(g_v).astype(int)
+    u0 = np.floor(g_u).astype(int)
+    fv = (g_v - v0)[:, None]
+    fu = (g_u - u0)[None, :]
+
+    def tap(m, vi, ui):
+        ok = ((vi >= 0) & (vi < size))[:, None] \
+            & ((ui >= 0) & (ui < size))[None, :]
+        return np.where(ok, m[np.clip(vi, 0, size - 1)][:,
+                              np.clip(ui, 0, size - 1)], 0.0)
+
+    for t in range(fg.shape[0]):
+        samp = (tap(fg[t], v0, u0) * (1 - fv) * (1 - fu)
+                + tap(fg[t], v0, u0 + 1) * (1 - fv) * fu
+                + tap(fg[t], v0 + 1, u0) * fv * (1 - fu)
+                + tap(fg[t], v0 + 1, u0 + 1) * fv * fu)
+        in_img = ((cv >= float(b2.v1)) & (cv < float(b2.v2)))[:, None] \
+            & ((cu >= float(b2.u1)) & (cu < float(b2.u2)))[None, :]
+        want = (samp > 0.9) & in_img
+        # float-reassociation can flip pixels whose interpolated value sits
+        # within ~1e-6 of the 0.9 threshold; exclude that measure-zero band
+        near = np.abs(samp - 0.9) < 1e-5
+        assert (got[t] == want)[~near].all()
+        assert near.mean() < 0.01
