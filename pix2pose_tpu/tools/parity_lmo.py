@@ -11,6 +11,11 @@ what is missing if anything is, and otherwise runs
   (``eval/bop_eval``, reference ``5_evaluation_bop_basic.py`` semantics)
   -> in-repo BOP'19 AR (``eval/metrics``) -> diff vs BASELINE.md.
 
+With ``--icp`` the same weights/targets/detections also run through the
+RGB-D/ICP evaluator (``eval/bop_eval_icp``, reference
+``5_evaluation_bop_icp3d.py``) and diff against the w/-ICP table
+(``/root/reference/README.md:33``) — one command, both baseline tables.
+
 Expected layout (BOP default + the reference release's weight layout):
 
   <bop_root>/<dataset>/{models, models_xyz/norm_factor.json, test/,
@@ -39,7 +44,12 @@ from typing import Sequence
 BASELINE_RGB_AR = {"lmo": 0.363, "tless": 0.344, "tudl": 0.420,
                    "icbin": 0.226, "itodd": 0.134, "hb": 0.446,
                    "ycbv": 0.457}
+# BOP'20 AR, RGB + depth ICP (/root/reference/README.md:33)
+BASELINE_ICP_AR = {"lmo": 0.588, "tless": 0.512, "tudl": 0.820,
+                   "icbin": 0.390, "itodd": 0.351, "hb": 0.695,
+                   "ycbv": 0.780}
 REFERENCE_CFG = "/root/reference/cfg/cfg_bop2020_rgb.json"
+REFERENCE_CFG_ICP = "/root/reference/cfg/cfg_bop2020.json"
 
 
 def find_bop_dataset(bop_root: str | None, dataset: str):
@@ -86,10 +96,16 @@ def resolve_weight_dir(ds_dir: str, weights_root: str | None,
 
 def run_parity(bop_root: str, dataset: str, weights_root=None,
                detections=None, cfg_path=None, max_images=None,
-               out_dir="/tmp/parity_out") -> dict:
+               out_dir="/tmp/parity_out", with_icp: bool = False) -> dict:
+    """RGB-evaluator parity run; with ``with_icp`` also the RGB-D/ICP
+    evaluator (reference ``5_evaluation_bop_icp3d.py`` → its w/-ICP table
+    row, ``README.md:33``) over the same targets/weights/detections, so
+    one command reproduces BOTH baseline tables."""
     from pix2pose_tpu.config import EvalConfig, load_eval_config
     from pix2pose_tpu.data.bop import BopDataset, get_target_list
+    from pix2pose_tpu.data.ply import load_ply
     from pix2pose_tpu.eval.bop_eval import BopEvaluator
+    from pix2pose_tpu.eval.bop_eval_icp import BopEvaluatorICP
     from pix2pose_tpu.eval.metrics import evaluate_bop
     from pix2pose_tpu.inference.detector import (GtDetector,
                                                  PrecomputedDetector)
@@ -98,8 +114,10 @@ def run_parity(bop_root: str, dataset: str, weights_root=None,
     from pix2pose_tpu.ops.color import obj_param_from_norm_factor
     from pix2pose_tpu.utils import checkpoint as ckpt_util
 
-    if cfg_path is None and os.path.exists(REFERENCE_CFG):
-        cfg_path = REFERENCE_CFG
+    if cfg_path is None:
+        default = REFERENCE_CFG_ICP if with_icp else REFERENCE_CFG
+        if os.path.exists(default):
+            cfg_path = default
     cfg = (load_eval_config(cfg_path) if cfg_path else EvalConfig(
         backbone="resnet50", score_type=2, task_type=2, cand_factor=2.0,
         inlier_th=0.15))
@@ -156,6 +174,35 @@ def run_parity(bop_root: str, dataset: str, weights_root=None,
               "diff": (scores["AR"] - base) if base is not None else None,
               "subset": bool(max_images) or bool(missing_w),
               "gt_detector": not detections}
+
+    if with_icp:
+        has_depth = any(
+            os.path.isdir(os.path.join(ds.split_dir(), f"{s:06d}",
+                                       "depth"))
+            for s in ds.scene_ids())
+        if not has_depth:
+            report["icp"] = "skipped: no depth/ images in the test split"
+        else:
+            meshes = {}
+            for obj_id in params_by_obj:
+                mesh = load_ply(ds.model_ply_path(obj_id))
+                meshes[obj_id] = (mesh["pts"], mesh["faces"])
+            ev_icp = BopEvaluatorICP(ds, cfg, est, params_by_obj,
+                                     obj_params, meshes, detector)
+            results_icp = ev_icp.run(target_list=targets,
+                                     out_dir=os.path.join(out_dir, "icp"))
+            scores_icp = evaluate_bop(results_icp, ds,
+                                      target_list=targets)
+            base_icp = BASELINE_ICP_AR.get(dataset)
+            report.update({
+                "AR_icp": scores_icp["AR"],
+                "AR_icp_vsd": scores_icp["AR_vsd"],
+                "AR_icp_mssd": scores_icp["AR_mssd"],
+                "AR_icp_mspd": scores_icp["AR_mspd"],
+                "baseline_icp": base_icp,
+                "diff_icp": (scores_icp["AR"] - base_icp)
+                if base_icp is not None else None,
+                "icp_render_overflow": int(ev_icp.render_overflow)})
     return report
 
 
@@ -170,7 +217,11 @@ def main(argv: Sequence[str] | None = None):
     p.add_argument("--detections", default=None,
                    help="PrecomputedDetector JSON (BOP'20 det dumps)")
     p.add_argument("--cfg", default=None,
-                   help=f"eval cfg (default {REFERENCE_CFG} if present)")
+                   help=f"eval cfg (default {REFERENCE_CFG}, or "
+                        f"{REFERENCE_CFG_ICP} with --icp, if present)")
+    p.add_argument("--icp", action="store_true",
+                   help="also run the RGB-D/ICP evaluator and diff vs the "
+                        "reference's w/-ICP table (README.md:33)")
     p.add_argument("--max-images", type=int, default=None)
     p.add_argument("--json", default=None)
     args = p.parse_args(argv)
@@ -184,15 +235,20 @@ def main(argv: Sequence[str] | None = None):
 
     report = run_parity(root, args.dataset, weights_root=args.weights,
                         detections=args.detections, cfg_path=args.cfg,
-                        max_images=args.max_images)
+                        max_images=args.max_images, with_icp=args.icp)
     print(json.dumps(report, indent=1))
-    if report["diff"] is not None:
-        ok = abs(report["diff"]) <= 0.005 or report["diff"] > 0
+
+    def verdict(ar, base, label):
+        ok = abs(ar - base) <= 0.005 or ar > base
         tag = ("PARITY" if ok else "BELOW BASELINE")
         if report["subset"] or report["gt_detector"]:
             tag += " (non-comparable setup: subset or GT detector)"
-        print(f"AR {report['AR']:.4f} vs reference RGB "
-              f"{report['baseline_rgb']:.3f} -> {tag}")
+        print(f"AR {ar:.4f} vs reference {label} {base:.3f} -> {tag}")
+
+    if report["diff"] is not None:
+        verdict(report["AR"], report["baseline_rgb"], "RGB")
+    if report.get("diff_icp") is not None:
+        verdict(report["AR_icp"], report["baseline_icp"], "RGB-D/ICP")
     if args.json:
         with open(args.json, "w") as f:
             json.dump(report, f, indent=1)

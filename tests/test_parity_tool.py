@@ -68,3 +68,21 @@ def test_main_exits_2_when_gated(tmp_path):
     with pytest.raises(SystemExit) as e:
         parity_lmo.main(["--bop-root", str(tmp_path / "none")])
     assert e.value.code == 2
+
+
+def test_run_parity_with_icp_on_fixture(tmp_path):
+    """--icp path: the same run also drives the RGB-D/ICP evaluator and
+    reports the w/-ICP table diff fields (reference README.md:33)."""
+    build_cube_dataset(str(tmp_path), n_scenes=1, ims_per_scene=2)
+    wdir = tmp_path / "cubes" / "pix2pose_weights" / "01"
+    os.makedirs(wdir)
+    _write_fake_keras_generator(wdir / "inference.hdf5")
+
+    report = parity_lmo.run_parity(
+        str(tmp_path), "cubes",
+        cfg_path={"backbone": "paper", "score_type": 1, "task_type": 1},
+        out_dir=str(tmp_path / "out"), with_icp=True)
+    assert np.isfinite(report["AR"])
+    assert "AR_icp" in report and np.isfinite(report["AR_icp"])
+    assert report["baseline_icp"] is None and report["diff_icp"] is None
+    assert report["icp_render_overflow"] == 0
