@@ -44,54 +44,16 @@ import numpy as np
 
 
 REFERENCE_CROPS_PER_SEC = 20.0
-V5E_BF16_PEAK_FLOPS = 197e12
 
 
 def _bench_chained(step_fn, step_args, crops_per_launch, windows=4,
                    k_per_window=8):
-    """AOT-compile ``step_fn(*step_args, carry, salt) -> carry`` and time
-    chained-launch windows, each completion-verified by a host read of the
-    int32 carry. Returns a dict with the median rate, launch latency,
-    analytic FLOPs and implied MFU."""
-    import jax
-    import jax.numpy as jnp
+    from pix2pose_tpu.utils.benchtime import bench_chained
 
-    # flip the relay's read path up front so timed windows are all in the
-    # same (degraded-but-readable) regime
-    _ = np.asarray(jax.device_put(np.zeros((1,), np.float32)))
-
-    step = jax.jit(step_fn)
-    compiled = step.lower(*step_args, jnp.int32(0), jnp.int32(0)).compile()
-    cost = compiled.cost_analysis()
-    if isinstance(cost, list):
-        cost = cost[0]
-    flops = float(cost.get("flops", -1.0)) if cost else -1.0
-
-    carry = compiled(*step_args, jnp.int32(0), jnp.int32(1))
-    _ = int(np.asarray(carry))  # warmup launch + read
-
-    rates = []
-    salt = 2
-    for _w in range(windows):
-        t0 = time.perf_counter()
-        for _ in range(k_per_window):
-            salt += 1
-            carry = compiled(*step_args, carry, jnp.int32(salt))
-        _ = int(np.asarray(carry))  # proves completion of the chain
-        dt = time.perf_counter() - t0
-        rates.append(crops_per_launch * k_per_window / dt)
-    rates.sort()
-    med = rates[len(rates) // 2]
-    mfu = (med / crops_per_launch * flops / V5E_BF16_PEAK_FLOPS * 100.0
-           if flops > 0 else None)
-    if mfu is not None and mfu > 100.0:
-        raise SystemExit(
-            f"REFUSING impossible result: {med:.0f} crops/s implies "
-            f"{mfu:.0f}% MFU (> chip peak) — timing is not "
-            f"completion-verified")
-    return {"crops_per_s": med, "launch_ms": crops_per_launch / med * 1e3,
-            "flops_per_launch": flops, "implied_mfu_pct": mfu,
-            "window_rates": [round(r, 1) for r in rates]}
+    r = bench_chained(step_fn, step_args, crops_per_launch,
+                      windows=windows, k_per_window=k_per_window)
+    r["crops_per_s"] = r.pop("units_per_s")
+    return r
 
 
 def main_multi_object():

@@ -46,6 +46,13 @@ def main():
                     help="retinanet trunk (resnet50 | tiny)")
     ap.add_argument("--cosine", action="store_true",
                     help="cosine-decay lr after warmup (else constant)")
+    ap.add_argument("--anchor-base", type=float, default=4.0,
+                    help="retinanet anchor base (level size = base * "
+                    "stride); 3.0 covers the composer's small-object tail "
+                    "(see anchor-coverage diagnostic in the docstring)")
+    ap.add_argument("--pos-iou", type=float, default=0.5,
+                    help="retinanet positive-assignment IoU (neg band is "
+                    "pos-0.1)")
     args = ap.parse_args()
     peak_lr = args.lr if args.lr is not None else (
         1e-4 if args.head == "retinanet" else 1e-3)
@@ -79,10 +86,11 @@ def main():
             create_retinanet_state, make_retinanet_step)
 
         model = RetinaNetDetector(num_classes=5, trunk=args.trunk)
-        anchors = anchor_boxes(args.im_size)
+        anchors = anchor_boxes(args.im_size, base=args.anchor_base)
         state = create_retinanet_state(jax.random.PRNGKey(0), model,
                                        args.im_size)
-        raw = make_retinanet_step(model, anchors)
+        raw = make_retinanet_step(model, anchors, pos_iou=args.pos_iou,
+                                  neg_iou=args.pos_iou - 0.1)
 
         def decode_fn(out):
             return decode_retinanet(out, anchors, top_k=32)

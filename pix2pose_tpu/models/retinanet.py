@@ -221,11 +221,13 @@ def assign_anchors(anchors, gt_bbox, gt_cls, gt_valid,
 
 def retinanet_loss(out: RetinaOut, anchors, gt_bbox, gt_cls, gt_valid,
                    num_classes: int, alpha: float = 0.25,
-                   gamma: float = 2.0):
+                   gamma: float = 2.0, pos_iou: float = 0.5,
+                   neg_iou: float = 0.4):
     """Focal + smooth-L1 over a batch. gt_* carry (B, K, ...) axes."""
 
     def one(cls_logits, box_deltas, gb, gc, gv):
-        cls_idx, box_t, pos, ignore = assign_anchors(anchors, gb, gc, gv)
+        cls_idx, box_t, pos, ignore = assign_anchors(
+            anchors, gb, gc, gv, pos_iou=pos_iou, neg_iou=neg_iou)
         cls_t = jax.nn.one_hot(jnp.maximum(cls_idx, 0), num_classes) \
             * pos[:, None].astype(jnp.float32)
         p = jax.nn.sigmoid(cls_logits)

@@ -192,7 +192,8 @@ def _sample_minimal_sets(key, valid, n_hyp: int, k: int = 6):
 def pnp_ransac(obj_pts, img_pts, valid, K, key, *, iters: int = 100,
                reproj_px: float = 5.0, min_pts: int = 6,
                refine_iters: int = 8, sample_k: int = 6,
-               sample_k_big: int = 12) -> PnPResult:
+               sample_k_big: int = 12, hyp_polish_iters: int = 3,
+               select_stride: int | None = None) -> PnPResult:
     """RANSAC EPnP-equivalent pose from masked 2D-3D correspondences.
 
     Args:
@@ -253,9 +254,12 @@ def pnp_ransac(obj_pts, img_pts, valid, K, key, *, iters: int = 100,
         Rs, ts = jax.vmap(
             lambda p, sp: _pose_from_p(p, obj_mean, obj_scale, sp, K)
         )(p_min, h_obj)
+        if hyp_polish_iters <= 0:
+            return Rs, ts
         Rs_p, ts_p = jax.vmap(
             lambda R0, t0, o, im, w: _gauss_newton_refine(
-                R0, t0, o, im, w, K, iters=3, huber_px=reproj_px)
+                R0, t0, o, im, w, K, iters=hyp_polish_iters,
+                huber_px=reproj_px)
         )(Rs, ts, obj_pts[idx], img_pts[idx], h_w)
         return (jnp.concatenate([Rs, Rs_p]),
                 jnp.concatenate([ts, ts_p]))
@@ -282,7 +286,8 @@ def pnp_ransac(obj_pts, img_pts, valid, K, key, *, iters: int = 100,
     # still defines the consensus mask below): selection among ~200
     # hypotheses needs only relative inlier counts, and halving the
     # points halves the dominant HBM traffic of the scoring scan
-    ss = 2 if obj_pts.shape[0] >= 1024 else 1
+    ss = (select_stride if select_stride is not None
+          else (2 if obj_pts.shape[0] >= 1024 else 1))
     obj_s, img_s, val_s = obj_pts[::ss], img_pts[::ss], valid[::ss]
     ch = 25
     n_hyp = Rs.shape[0]

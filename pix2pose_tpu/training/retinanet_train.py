@@ -42,7 +42,8 @@ def create_retinanet_state(rng, model: RetinaNetDetector,
                          step=jnp.zeros((), jnp.int32))
 
 
-def make_retinanet_step(model: RetinaNetDetector, anchors):
+def make_retinanet_step(model: RetinaNetDetector, anchors,
+                        pos_iou: float = 0.5, neg_iou: float = 0.4):
     tx = optax.scale_by_adam()
     anchors = jnp.asarray(anchors)
 
@@ -53,7 +54,8 @@ def make_retinanet_step(model: RetinaNetDetector, anchors):
                 batch["image"], train=True, mutable=["batch_stats"])
             total, parts = retinanet_loss(
                 out, anchors, batch["gt_bbox"], batch["gt_cls"],
-                batch["gt_valid"], model.num_classes)
+                batch["gt_valid"], model.num_classes,
+                pos_iou=pos_iou, neg_iou=neg_iou)
             return total, (new["batch_stats"], parts)
 
         (total, (stats, parts)), grads = jax.value_and_grad(
@@ -71,9 +73,10 @@ def train_retinanet(store: DetectorStore, steps: int = 2000,
                     batch_size: int = 4, im_size: int = 512,
                     lr: float = 1e-4, ckpt_dir: str | None = None,
                     log_every: int = 50, seed: int = 0,
-                    save_every: int = 1000, trunk: str = "resnet50"):
+                    save_every: int = 1000, trunk: str = "resnet50",
+                    anchor_base: float = 4.0):
     model = RetinaNetDetector(num_classes=store.num_classes, trunk=trunk)
-    anchors = anchor_boxes(im_size)
+    anchors = anchor_boxes(im_size, base=anchor_base)
     state = create_retinanet_state(jax.random.PRNGKey(seed), model,
                                    im_size)
     if ckpt_dir:

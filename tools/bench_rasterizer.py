@@ -3,11 +3,20 @@ binned Pallas at several mesh densities.
 
     python tools/bench_rasterizer.py [--faces 2400 40000 99000] [--vmap 0]
 
-Run in a FRESH process on an idle chip (CLAUDE.md axon notes). Measured
-2026-08-16 on v5e-1 (this script's defaults): 99k faces VGA — exhaustive
-40.7 ms, binned 16.3 ms; 40k faces vmap[16] — binned 6.96 ms/frame;
-2.4k faces — binned 1.42 ms. Outputs are verified identical across paths
-per run.
+Timing is COMPLETION-VERIFIED (same methodology as bench.py): launches
+are chained — launch i+1's camera translation carries a tiny offset
+derived from launch i's depth-sum — and every timed window ends with a
+4-byte host read of the carry, proving all launches in the window
+executed. Plain dispatch-then-``block_until_ready`` windows through the
+axon relay measure queueing, not compute (see bench.py's docstring and
+the round-2 verdict), which is why the 2026-08-16 numbers recorded here
+previously (16.3 ms @ 99k faces etc.) needed re-verification.
+
+Run in a FRESH process on an idle chip (CLAUDE.md axon notes: the first
+host read flips the process into the relay's degraded launch mode; this
+script performs that flip BEFORE timing, so results are a lower bound on
+device capability but are real throughput). Outputs are verified
+identical across paths per run.
 """
 
 import argparse
@@ -44,7 +53,9 @@ def main():
                     default=[2400, 40000, 99000])
     ap.add_argument("--vmap", type=int, default=0,
                     help="batch renders under vmap[B] (0 = unbatched)")
-    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--windows", type=int, default=4)
+    ap.add_argument("--k", type=int, default=10,
+                    help="chained launches per timed window")
     args = ap.parse_args()
 
     import jax
@@ -62,6 +73,9 @@ def main():
              ("pallas-exhaustive", rasterize_pallas),
              ("pallas-binned", rasterize_pallas_binned)]
 
+    # flip the relay read path before any timing (CLAUDE.md pathology 1)
+    _ = np.asarray(jax.device_put(np.zeros((1,), np.float32)))
+
     for nf in args.faces:
         verts, faces = uv_sphere(nf)
         vj, fj = jnp.asarray(verts), jnp.asarray(faces)
@@ -71,36 +85,46 @@ def main():
             if not on_tpu and "pallas" in name:
                 continue  # compiled kernels need the TPU
 
-            if args.vmap:
-                @jax.jit
-                def run(dz, fn=fn):
-                    def one(tz):
-                        uv, z = project_vertices(
-                            vj, jnp.eye(3),
-                            jnp.array([0.02, -0.01, 0.5]) + tz, K)
-                        out = fn(uv, z, fj, vj, h, w)
-                        return out.depth.sum()
-                    return jax.vmap(one)(
-                        dz + jnp.arange(args.vmap) * 1e-4)
-            else:
-                @jax.jit
-                def run(dz, fn=fn):
+            def step(carry, fn=fn):
+                # launch chaining: a sub-micron z offset derived from the
+                # previous launch's depth sum makes every launch depend on
+                # the one before it, so the final carry read proves the
+                # whole window executed
+                eps = (carry % 997).astype(jnp.float32) * 1e-9
+
+                def one(tz):
                     uv, z = project_vertices(
                         vj, jnp.eye(3),
-                        jnp.array([0.02, -0.01, 0.5]) + dz * 1e-7, K)
+                        jnp.array([0.02, -0.01, 0.5]) + tz + eps, K)
                     out = fn(uv, z, fj, vj, h, w)
                     return out.depth.sum()
 
-            o = run(jnp.float32(0.0))
-            jax.block_until_ready(o)
-            t0 = time.perf_counter()
-            for i in range(args.iters):
-                o = run(jnp.float32(0.0))
-            jax.block_until_ready(o)
-            per = (time.perf_counter() - t0) / args.iters
-            per /= max(args.vmap, 1)
-            sums[name] = np.asarray(o).ravel()[0]
-            print(f"{name:18s}: {per * 1e3:8.2f} ms/frame", flush=True)
+                if args.vmap:
+                    s = jnp.sum(jax.vmap(one)(
+                        jnp.arange(args.vmap) * 1e-4))
+                else:
+                    s = one(jnp.float32(0.0))
+                new_carry = ((jnp.abs(s) * 1e3).astype(jnp.int32)
+                             + carry) % 1000003
+                return new_carry, s
+
+            compiled = jax.jit(step).lower(jnp.int32(0)).compile()
+            carry, s = compiled(jnp.int32(0))
+            sums[name] = float(np.asarray(s))  # warmup launch + forced read
+            frames = max(args.vmap, 1) * args.k
+            per_frame = []
+            for _w in range(args.windows):
+                t0 = time.perf_counter()
+                for _ in range(args.k):
+                    carry, s = compiled(carry)
+                _ = int(np.asarray(carry))  # completion proof
+                dt = time.perf_counter() - t0
+                per_frame.append(dt / frames)
+            per_frame.sort()
+            per = per_frame[len(per_frame) // 2]
+            print(f"{name:18s}: {per * 1e3:8.2f} ms/frame "
+                  f"(windows {[round(p * 1e3, 2) for p in per_frame]})",
+                  flush=True)
         vals = list(sums.values())
         if len(vals) > 1:
             agree = all(abs(v - vals[0]) < 1e-2 * abs(vals[0]) + 1e-3
