@@ -240,6 +240,12 @@ def pnp_ransac(obj_pts, img_pts, valid, K, key, *, iters: int = 100,
     # fit is what OpenCV's EPnP control-point parametrization gives
     # natively) — and scored BOTH raw and polished, keeping the better,
     # so a diverging polish can never cost a hypothesis its consensus.
+    # NOTE (measured dead end, 2026-08-17): merging the two populations
+    # into one padded-k batch (k_big points everywhere, zero weights on
+    # the minimal population's tail) to halve subgraph count REGRESSED
+    # the engine launch 154.5 -> 171.4 ms — the doubled per-point work
+    # for the minimal half outweighs any kernel-count savings. Keep the
+    # two per-k calls.
     def hypotheses(key_h, n_hyp, k):
         idx = _sample_minimal_sets(key_h, valid, n_hyp, k=k)  # (R, k)
         h_obj = obj_n[idx]  # (R, k, 3)
