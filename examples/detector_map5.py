@@ -53,6 +53,10 @@ def main():
     ap.add_argument("--pos-iou", type=float, default=0.5,
                     help="retinanet positive-assignment IoU (neg band is "
                     "pos-0.1)")
+    ap.add_argument("--scales", type=int, default=3,
+                    help="retinanet anchor scales per octave")
+    ap.add_argument("--head-dim", type=int, default=128,
+                    help="retinanet FPN/subnet width")
     args = ap.parse_args()
     peak_lr = args.lr if args.lr is not None else (
         1e-4 if args.head == "retinanet" else 1e-3)
@@ -85,8 +89,12 @@ def main():
         from pix2pose_tpu.training.retinanet_train import (
             create_retinanet_state, make_retinanet_step)
 
-        model = RetinaNetDetector(num_classes=5, trunk=args.trunk)
-        anchors = anchor_boxes(args.im_size, base=args.anchor_base)
+        scales = tuple(2.0 ** (i / args.scales) for i in range(args.scales))
+        model = RetinaNetDetector(num_classes=5, trunk=args.trunk,
+                                  head_dim=args.head_dim,
+                                  n_anchors=args.scales * 3)
+        anchors = anchor_boxes(args.im_size, base=args.anchor_base,
+                               scales=scales)
         state = create_retinanet_state(jax.random.PRNGKey(0), model,
                                        args.im_size)
         raw = make_retinanet_step(model, anchors, pos_iou=args.pos_iou,

@@ -397,6 +397,8 @@ class Pix2PoseEstimator:
         res = pnp_ops.pnp_ransac_batch(
             flat(xyz_mm, (gs * gs, 3)), flat(img_pts, (gs * gs, 2)),
             flat(pnp_valid, (gs * gs,)), cam_k, keys,
+            iters=cfg.ransac_iters, reproj_px=cfg.ransac_reproj_px,
+            min_pts=cfg.min_pnp_px,
         )
         res = jax.tree_util.tree_map(
             lambda x: x.reshape((n_det, n_th) + x.shape[1:]), res)

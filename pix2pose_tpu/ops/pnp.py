@@ -21,6 +21,7 @@ the whole thing vmaps over stage-2 candidates and jits once (SURVEY.md §7
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -392,6 +393,11 @@ def pnp_ransac(obj_pts, img_pts, valid, K, key, *, iters: int = 100,
     )
 
 
-# Batched over candidates: obj/img/valid/key batched, K shared.
-pnp_ransac_batch = jax.vmap(
-    pnp_ransac, in_axes=(0, 0, 0, None, 0), out_axes=0)
+def pnp_ransac_batch(obj_pts, img_pts, valid, K, keys, **kwargs):
+    """Batched over candidates: obj/img/valid/key batched, K shared.
+    ``kwargs`` forward to :func:`pnp_ransac` (static solver knobs —
+    e.g. the engine passes ``EstimatorConfig.ransac_iters`` /
+    ``ransac_reproj_px`` / ``min_pnp_px`` here)."""
+    fn = functools.partial(pnp_ransac, **kwargs)
+    return jax.vmap(fn, in_axes=(0, 0, 0, None, 0), out_axes=0)(
+        obj_pts, img_pts, valid, K, keys)

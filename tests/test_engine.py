@@ -206,3 +206,36 @@ def test_stage2_mask_separable_matches_gather_oracle():
         near = np.abs(samp - 0.9) < 1e-5
         assert (got[t] == want)[~near].all()
         assert near.mean() < 0.01
+
+
+def test_engine_threads_ransac_config(monkeypatch):
+    """EstimatorConfig's documented RANSAC knobs must actually reach the
+    solver (they were silently unused before round 3: the engine called
+    pnp_ransac_batch with pnp_ransac's own defaults, which merely happen
+    to equal the config defaults)."""
+    from pix2pose_tpu.ops import pnp as pnp_ops
+
+    seen = {}
+    orig = pnp_ops.pnp_ransac
+
+    def spy(*args, **kw):
+        seen.update(kw)
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(pnp_ops, "pnp_ransac", spy)
+    model = OracleGenerator()
+    cfg = EstimatorConfig(outlier_th=(0.1,), inlier_th=0.1,
+                          ransac_iters=24, ransac_reproj_px=4.0,
+                          min_pnp_px=8)
+    est = Pix2PoseEstimator(model, cfg)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 128, 128, 3)))
+    R, t = pose_with_euler()
+    rgb, obj_param, hit = xyz_scene(R, t)
+    bboxes = np.stack([_bbox_from_hit(hit)])
+    out = est(params, rgb, bboxes, np.array([True]), CAM_K, obj_param,
+              jax.random.PRNGKey(1))
+    assert seen["iters"] == 24
+    assert seen["reproj_px"] == 4.0
+    assert seen["min_pts"] == 8
+    assert bool(out.valid[0])

@@ -6,6 +6,8 @@
     python tools/bench_ablate.py hyp-half    # RANSAC hypotheses 100 -> 50
     python tools/bench_ablate.py polish-off  # no per-hypothesis GN polish
     python tools/bench_ablate.py ss4         # selection-scoring stride 4
+    python tools/bench_ablate.py sample-stub # no Gumbel/argsort sampling
+    python tools/bench_ablate.py nrs-8       # rotation power-iters 20->8
     python tools/bench_ablate.py stage2-one  # 1 outlier threshold (not 3)
 
 Each mode times the SAME 8-image x 16-detection engine launch as
@@ -19,7 +21,6 @@ Ablations monkeypatch ``pix2pose_tpu.ops.pnp`` BEFORE the engine traces,
 which is measurement-only tooling — the library itself is untouched.
 """
 
-import functools
 import json
 import os
 import sys
@@ -30,13 +31,16 @@ sys.path.insert(0, _ROOT)
 import numpy as np
 
 
-def _patched_batch(**kw):
-    import jax
-
+def _patched_batch(**overrides):
     from pix2pose_tpu.ops import pnp as pnp_ops
 
-    fn = functools.partial(pnp_ops.pnp_ransac, **kw)
-    return jax.vmap(fn, in_axes=(0, 0, 0, None, 0), out_axes=0)
+    orig = pnp_ops.pnp_ransac_batch
+
+    def run(obj_pts, img_pts, valid, K, keys, **kw):
+        return orig(obj_pts, img_pts, valid, K, keys,
+                    **{**kw, **overrides})
+
+    return run
 
 
 def apply_mode(mode: str):
@@ -58,8 +62,12 @@ def apply_mode(mode: str):
                 inlier_mask=valid, ok=jnp.sum(valid) >= 6)
 
         import jax
-        pnp_ops.pnp_ransac_batch = jax.vmap(
-            stub, in_axes=(0, 0, 0, None, 0), out_axes=0)
+
+        def stub_batch(obj_pts, img_pts, valid, K, keys, **kw):
+            return jax.vmap(stub, in_axes=(0, 0, 0, None, 0),
+                            out_axes=0)(obj_pts, img_pts, valid, K, keys)
+
+        pnp_ops.pnp_ransac_batch = stub_batch
     elif mode == "gn-half":
         pnp_ops.pnp_ransac_batch = _patched_batch(refine_iters=4)
     elif mode == "hyp-half":
@@ -68,6 +76,24 @@ def apply_mode(mode: str):
         pnp_ops.pnp_ransac_batch = _patched_batch(hyp_polish_iters=0)
     elif mode == "ss4":
         pnp_ops.pnp_ransac_batch = _patched_batch(select_stride=4)
+    elif mode == "sample-stub":
+        # no Gumbel/argsort: contiguous index blocks at random offsets
+        # (accuracy-meaningless; isolates the permutation-sampling cost)
+        import jax
+
+        def cheap(key, valid, n_hyp, k=6):
+            n = valid.shape[0]
+            off = jax.random.randint(key, (n_hyp, 1), 0, n)
+            return (off + jnp.arange(k, dtype=jnp.int32)[None, :]) % n
+
+        pnp_ops._sample_minimal_sets = cheap
+    elif mode == "nrs-8":
+        # nearest_rotation_scale power iterations 20 -> 8
+        from pix2pose_tpu.ops import smallmat
+
+        orig = smallmat.nearest_rotation_scale
+        smallmat.nearest_rotation_scale = (
+            lambda M, iters=8: orig(M, iters=iters))
     elif mode != "stage2-one":
         raise SystemExit(f"unknown mode {mode}")
 
