@@ -13,11 +13,18 @@ T-Less alternative, fizyr keras-retinanet at
 Measured on TPU v5e-1 (3000 steps, batch 8 @ 256^2):
 - centernet (2026-08-16): mAP@0.50 = 0.97, mAP@0.75 = 0.84, COCO
   mAP = 0.72, tuned score threshold 0.40 (F1 = 0.96).
-- retinanet (2026-08-17, resnet50 trunk, lr 1e-4): mAP@0.50 = 0.66,
-  mAP@0.75 = 0.59, COCO mAP = 0.50; at 6000 steps 0.69 / 0.66 / 0.59;
-  10k steps plateau at 0.66 / 0.65 / 0.58 (tuned score threshold 0.10),
-  and --cosine at 6k ties it (0.69 / 0.67 / 0.58) — the plateau is
-  budget/architecture-bound at this scale, not schedule-bound.
+- retinanet (2026-08-17, resnet50 trunk, lr 1e-4): the default base-4
+  anchors starve objects <24 px (zero positive anchors — coverage
+  diagnostic in docs/PARITY.md), capping 3k-step runs at mAP@0.50 0.66-
+  0.68. ``--anchor-base 3.0`` fixes the coverage: **0.807 / 0.780 /
+  0.648** at the same 3k budget. Interventions on top of base-3.0 all
+  land inside the noise band or below it (3k steps each): lr 3e-4
+  0.774; --pos-iou 0.45 0.733; --cosine 0.787; --scales 4 --head-dim
+  256 0.747 — the residual gap to CenterNet's 0.97 is training-budget/
+  paradigm-bound (sparse anchor assignment vs dense full-res center
+  supervision), not schedule-, assignment- or capacity-bound. See
+  docs/PARITY.md "Detector heads" for the 6k-step curve and the
+  verdict.
 """
 
 import argparse
