@@ -64,6 +64,8 @@ def main():
                     help="retinanet anchor scales per octave")
     ap.add_argument("--head-dim", type=int, default=128,
                     help="retinanet FPN/subnet width")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="train-seed offset (init + batch keys); the held-out eval set stays fixed")
     args = ap.parse_args()
     peak_lr = args.lr if args.lr is not None else (
         1e-4 if args.head == "retinanet" else 1e-3)
@@ -102,8 +104,8 @@ def main():
                                   n_anchors=args.scales * 3)
         anchors = anchor_boxes(args.im_size, base=args.anchor_base,
                                scales=scales)
-        state = create_retinanet_state(jax.random.PRNGKey(0), model,
-                                       args.im_size)
+        state = create_retinanet_state(
+            jax.random.PRNGKey(args.seed), model, args.im_size)
         raw = make_retinanet_step(model, anchors, pos_iou=args.pos_iou,
                                   neg_iou=args.pos_iou - 0.1)
 
@@ -115,8 +117,8 @@ def main():
             create_detector_state, make_detector_step)
 
         model = CenterNetDetector(num_classes=5)
-        state = create_detector_state(jax.random.PRNGKey(0), model,
-                                      args.im_size)
+        state = create_detector_state(
+            jax.random.PRNGKey(args.seed), model, args.im_size)
         raw = make_detector_step(model)
 
     @jax.jit
@@ -133,7 +135,7 @@ def main():
             return peak_lr * warm * 0.5 * (1 + math.cos(math.pi * prog))
         return peak_lr * warm
 
-    key = jax.random.PRNGKey(1)
+    key = jax.random.PRNGKey(args.seed + 1)
     t0 = time.time()
     for i in range(args.steps):
         key, kb = jax.random.split(key)
