@@ -33,7 +33,10 @@ completion-verified throughput. Trials run in fresh subprocesses (the
 relay pins a process into a fast or slow mode at random).
 
 Measured configuration: bf16 conv compute (fp32 params/PnP), 8 images x 16
-padded detections x 3 outlier thresholds per program launch.
+padded detections x 3 outlier thresholds per program launch, default
+estimator config (confidence-ordered PROSAC sampling, 32 hypotheses —
+validated equal-or-better than the reference's 100 uniform samples; see
+EstimatorConfig.prosac and tools/bench_ablate.py's reference-100 mode).
 """
 
 import json

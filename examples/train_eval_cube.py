@@ -39,6 +39,11 @@ def main():
                     default="paper",
                     help="generator encoder (resnet50 = BOP'20 variant, "
                          "trained from scratch here)")
+    ap.add_argument("--prosac-ab", action="store_true",
+                    help="after training, evaluate BOTH the default "
+                    "estimator (prosac, 32 hypotheses) and the "
+                    "reference-semantics 100-uniform-hypothesis path on "
+                    "the same weights and print both AR tables")
     args = ap.parse_args()
 
     from bop_fixture import build_cube_dataset
@@ -109,16 +114,25 @@ def main():
     ecfg = EvalConfig(dataset_dir=root + "_test", score_type=2,
                       task_type=2, cand_factor=1.0,
                       outlier_th=(0.1, 0.2, 0.3), inlier_th=0.3)
-    est = Pix2PoseEstimator(gen, ecfg.estimator(0))
     params = {"params": state.gen_params, "batch_stats": state.gen_stats}
     obj_param = np.array([40., 40., 40., 0, 0, 0], np.float32)
-    ev = BopEvaluator(ds_test, ecfg, est, {1: params}, {1: obj_param},
-                      GtDetector(ds_test, jitter=5), max_det=2)
-    results = ev.run(out_dir=os.path.join(root, "out"))
-    scores = evaluate_bop(results, ds_test)
-    print("AR:", {k: round(v, 3) for k, v in scores.items()
-                  if k.startswith("AR")})
-    print("ADD-0.1d recall:", add_recall(results, ds_test))
+
+    variants = [("default(prosac-32)", ecfg.estimator(0))]
+    if args.prosac_ab:
+        import dataclasses
+        variants.append(("reference-100", dataclasses.replace(
+            ecfg.estimator(0), prosac=False, ransac_iters=100)))
+    for name, est_cfg in variants:
+        est = Pix2PoseEstimator(gen, est_cfg)
+        ev = BopEvaluator(ds_test, ecfg, est, {1: params},
+                          {1: obj_param}, GtDetector(ds_test, jitter=5),
+                          max_det=2)
+        results = ev.run(out_dir=os.path.join(root, "out"))
+        scores = evaluate_bop(results, ds_test)
+        tag = f"[{name}] " if args.prosac_ab else ""
+        print(tag + "AR:", {k: round(v, 3) for k, v in scores.items()
+                            if k.startswith("AR")})
+        print(tag + "ADD-0.1d recall:", add_recall(results, ds_test))
 
 
 if __name__ == "__main__":

@@ -394,9 +394,14 @@ class Pix2PoseEstimator:
 
         flat = lambda a, d: a.reshape((n_det * n_th,) + d)
         keys = jax.random.split(key, n_det * n_th)
+        # cfg.prosac: order hypothesis sampling by the generator's own
+        # predicted-error map (lower predicted error = drawn earlier) —
+        # the per-pixel confidence the reference only thresholds
+        # (``recognition.py:203``) also carries ranking information
+        quality = (-flat(sub(prob2), (gs * gs,)) if cfg.prosac else None)
         res = pnp_ops.pnp_ransac_batch(
             flat(xyz_mm, (gs * gs, 3)), flat(img_pts, (gs * gs, 2)),
-            flat(pnp_valid, (gs * gs,)), cam_k, keys,
+            flat(pnp_valid, (gs * gs,)), cam_k, keys, quality,
             iters=cfg.ransac_iters, reproj_px=cfg.ransac_reproj_px,
             min_pts=cfg.min_pnp_px,
         )

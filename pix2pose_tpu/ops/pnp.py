@@ -161,7 +161,8 @@ def _gauss_newton_refine(R, t, obj_pts, img_pts, w, K, iters: int = 8,
     return R, t
 
 
-def _sample_minimal_sets(key, valid, n_hyp: int, k: int = 6):
+def _sample_minimal_sets(key, valid, n_hyp: int, k: int = 6,
+                         quality=None, quality_pow: float = 2.0):
     """(n_hyp, k) index sets drawn from the valid mask.
 
     ONE random permutation ranks the valid points first (Gumbel keys +
@@ -178,19 +179,43 @@ def _sample_minimal_sets(key, valid, n_hyp: int, k: int = 6):
     hypothesis sets slightly (adjacent points co-occur), which RANSAC is
     insensitive to — consensus scoring sees every hypothesis against ALL
     points regardless.
+
+    ``quality`` (optional, (N,), higher = more trustworthy) switches to
+    PROSAC-style progressive sampling: the permutation becomes a
+    quality ordering (Gumbel noise only breaks ties) and block offsets
+    concentrate on the top of the ranking (off = n_valid * u^quality_pow
+    with u ~ U[0,1]), so most minimal sets are drawn from the most
+    trustworthy correspondences while the tail still gets occasional
+    coverage. Consensus scoring is unchanged (every hypothesis is still
+    scored against ALL points), so this only changes WHERE hypotheses
+    come from — the knob that lets a trained-confidence pipeline match
+    100 random hypotheses with far fewer.
     """
     n = valid.shape[0]
     kp, kc = jax.random.split(key)
     g = jax.random.gumbel(kp, (n,))
+    if quality is not None:
+        # scale quality to dominate the Gumbel tie-break noise
+        q = jnp.asarray(quality, jnp.float32)
+        qmax = jnp.max(jnp.where(valid, q, -jnp.inf))
+        qmin = jnp.min(jnp.where(valid, q, jnp.inf))
+        spread = jnp.maximum(qmax - qmin, 1e-6)
+        g = q * (64.0 / spread) + g
     order = jnp.argsort(
         jnp.where(valid, g, -jnp.inf), descending=True)  # valid first
     n_valid = jnp.maximum(jnp.sum(valid).astype(jnp.int32), 1)
-    off = jax.random.randint(kc, (n_hyp, 1), 0, n_valid)
+    if quality is not None:
+        u = jax.random.uniform(kc, (n_hyp, 1))
+        off = (u ** quality_pow * n_valid.astype(jnp.float32)) \
+            .astype(jnp.int32)
+    else:
+        off = jax.random.randint(kc, (n_hyp, 1), 0, n_valid)
     pos = (off + jnp.arange(k, dtype=jnp.int32)[None, :]) % n_valid
     return order[pos]
 
 
-def pnp_ransac(obj_pts, img_pts, valid, K, key, *, iters: int = 100,
+def pnp_ransac(obj_pts, img_pts, valid, K, key, quality=None, *,
+               iters: int = 100,
                reproj_px: float = 5.0, min_pts: int = 6,
                refine_iters: int = 8, sample_k: int = 6,
                sample_k_big: int = 12, hyp_polish_iters: int = 3,
@@ -203,6 +228,11 @@ def pnp_ransac(obj_pts, img_pts, valid, K, key, *, iters: int = 100,
       valid: (N,) bool correspondence mask.
       K: (3, 3) intrinsics.
       key: PRNG key.
+      quality: optional (N,) per-correspondence trust score (higher =
+        better; e.g. the negated predicted-error map). Enables
+        PROSAC-style progressive sampling (see
+        :func:`_sample_minimal_sets`) — with a trained confidence source
+        ``iters`` can drop well below 100 at equal accuracy.
       iters: number of RANSAC hypotheses (reference iterationsCount=100).
       reproj_px: inlier threshold in pixels (reference reprojectionError=5).
       min_pts: minimum valid correspondences (reference ``recognition.py:214``).
@@ -248,7 +278,8 @@ def pnp_ransac(obj_pts, img_pts, valid, K, key, *, iters: int = 100,
     # for the minimal half outweighs any kernel-count savings. Keep the
     # two per-k calls.
     def hypotheses(key_h, n_hyp, k):
-        idx = _sample_minimal_sets(key_h, valid, n_hyp, k=k)  # (R, k)
+        idx = _sample_minimal_sets(key_h, valid, n_hyp, k=k,
+                                   quality=quality)  # (R, k)
         h_obj = obj_n[idx]  # (R, k, 3)
         h_cam = cam_n[idx]  # (R, k, 2)
         h_w = valid[idx].astype(jnp.float32)
@@ -393,11 +424,14 @@ def pnp_ransac(obj_pts, img_pts, valid, K, key, *, iters: int = 100,
     )
 
 
-def pnp_ransac_batch(obj_pts, img_pts, valid, K, keys, **kwargs):
-    """Batched over candidates: obj/img/valid/key batched, K shared.
-    ``kwargs`` forward to :func:`pnp_ransac` (static solver knobs —
-    e.g. the engine passes ``EstimatorConfig.ransac_iters`` /
-    ``ransac_reproj_px`` / ``min_pnp_px`` here)."""
+def pnp_ransac_batch(obj_pts, img_pts, valid, K, keys, quality=None,
+                     **kwargs):
+    """Batched over candidates: obj/img/valid/key (and optional
+    per-candidate ``quality``) batched, K shared. ``kwargs`` forward to
+    :func:`pnp_ransac` (static solver knobs — e.g. the engine passes
+    ``EstimatorConfig.ransac_iters`` / ``ransac_reproj_px`` /
+    ``min_pnp_px`` here)."""
     fn = functools.partial(pnp_ransac, **kwargs)
-    return jax.vmap(fn, in_axes=(0, 0, 0, None, 0), out_axes=0)(
-        obj_pts, img_pts, valid, K, keys)
+    return jax.vmap(fn, in_axes=(0, 0, 0, None, 0,
+                                 None if quality is None else 0),
+                    out_axes=0)(obj_pts, img_pts, valid, K, keys, quality)

@@ -9,6 +9,14 @@
     python tools/bench_ablate.py sample-stub # no Gumbel/argsort sampling
     python tools/bench_ablate.py nrs-8       # rotation power-iters 20->8
     python tools/bench_ablate.py stage2-one  # 1 outlier threshold (not 3)
+    python tools/bench_ablate.py prosac-32   # confidence-ordered sampling
+                                             # + 32 hypotheses (= the
+                                             # default config since the
+                                             # round-3 flip)
+    python tools/bench_ablate.py reference-100  # uniform 100-hypothesis
+                                             # sampling (reference
+                                             # semantics; pre-flip
+                                             # default)
 
 Each mode times the SAME 8-image x 16-detection engine launch as
 bench.py with the chained-carry methodology (utils/benchtime.py). Run
@@ -94,7 +102,7 @@ def apply_mode(mode: str):
         orig = smallmat.nearest_rotation_scale
         smallmat.nearest_rotation_scale = (
             lambda M, iters=8: orig(M, iters=iters))
-    elif mode != "stage2-one":
+    elif mode not in ("stage2-one", "prosac-32", "reference-100"):
         raise SystemExit(f"unknown mode {mode}")
 
 
@@ -112,13 +120,19 @@ def main():
 
     n_img, im_h, im_w, n_det = 8, 480, 640, 16
     th = (0.2,) if mode == "stage2-one" else (0.15, 0.25, 0.35)
+    extra = {}
+    if mode == "prosac-32":
+        extra = {"prosac": True, "ransac_iters": 32}
+    elif mode == "reference-100":
+        extra = {"prosac": False, "ransac_iters": 100}
     cam_k = jnp.tile(jnp.asarray(
         [[572.4, 0.0, 325.3], [0.0, 573.6, 242.0], [0.0, 0.0, 1.0]],
         jnp.float32)[None], (n_img, 1, 1))
     obj_param = jnp.asarray([40.0, 40.0, 40.0, 0.0, 0.0, 0.0], jnp.float32)
     model = build_generator("paper", dtype=jnp.bfloat16)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
-    est = Pix2PoseEstimator(model, EstimatorConfig(outlier_th=th))
+    est = Pix2PoseEstimator(model, EstimatorConfig(outlier_th=th,
+                                                   **extra))
 
     rng = np.random.RandomState(0)
     rgbs = jax.device_put(
