@@ -35,7 +35,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from pix2pose_tpu.ops.affine import affine_sample, make_affine
+from pix2pose_tpu.ops.affine import affine_sample_mm, make_affine
 
 WORK = 192  # workspace resolution (patch region sits centered)
 PATCH = 128
@@ -223,9 +223,12 @@ def _one_sample(key, rgb_u8, xyz_u8, mask, extent, back_u8, stage2,
                       jnp.array([(PATCH - 1) / 2.0, (PATCH - 1) / 2.0]),
                       win / PATCH, angle)
 
-    src = affine_sample((comp - 0.5) * 2.0, mat, PATCH, PATCH, 0.0)
-    tgt = affine_sample((ws_xyz - 0.5) * 2.0, mat, PATCH, PATCH, 0.0)
-    prob = affine_sample(ws_mask[..., None], mat, PATCH, PATCH, 0.0)
+    # one banded-matmul warp for all seven channels (src | tgt | mask) —
+    # the gather path ran on the TPU scalar unit and dominated step time
+    stacked = jnp.concatenate([(comp - 0.5) * 2.0, (ws_xyz - 0.5) * 2.0,
+                               ws_mask[..., None]], axis=-1)
+    warped = affine_sample_mm(stacked, mat, PATCH, PATCH, 0.0)
+    src, tgt, prob = warped[..., :3], warped[..., 3:6], warped[..., 6:7]
     return src, tgt, (prob > 0.5).astype(jnp.float32)
 
 

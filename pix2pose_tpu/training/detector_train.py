@@ -106,12 +106,16 @@ def train_detector(store: DetectorStore, steps: int = 2000,
             jax.block_until_ready(parts["total"])
         if ckpt_dir and it > 0 and it % save_every == 0:
             ckpt.save_train_state(ckpt_dir, state, it // save_every)
-    history.append((steps - 1, parts))
+    if steps:  # ``parts`` only exists after at least one step
+        history.append((steps - 1, parts))
     for it, m in [(i, jax.device_get(p)) for i, p in history]:
         print(f"it{it:05d} total={m['total']:.4f} heat={m['heat']:.4f} "
               f"wh={m['wh']:.4f} seg={m['seg']:.4f}")
     print(f"{steps} steps in {time.time() - t0:.1f}s")
     if ckpt_dir:
+        if steps:  # resumable final state, not only the inference export
+            ckpt.save_train_state(ckpt_dir, state,
+                                  max(steps - 1, 1) // save_every + 1)
         ckpt.export_inference(ckpt_dir, state.params, state.stats)
     return model, {"params": state.params, "batch_stats": state.stats}
 

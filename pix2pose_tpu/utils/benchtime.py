@@ -31,6 +31,63 @@ import numpy as np
 V5E_BF16_PEAK_FLOPS = 197e12
 
 
+def bench_virgin(step_fn, step_args, units_per_launch, k=24,
+                 peak_flops=V5E_BF16_PEAK_FLOPS):
+    """Single completion-verified window in the relay's FAST launch mode.
+
+    Pathology 1 (CLAUDE.md) flips a process into a degraded launch path at
+    its first device->host read — and gather-heavy programs can run
+    ~1000x slower there, so ``bench_chained``'s flip-first lower bound is
+    uselessly loose for them. Here the process performs NO read before
+    the timed window: ``k`` chained launches are dispatched (each consumes
+    the previous carry, so the final carry transitively depends on every
+    launch), then ONE host read of the final carry both ends the timer
+    and proves the whole chain executed. Launches dispatched before a
+    process's first read run in the fast mode, so this measures real
+    device capability; the single read's latency is amortized over ``k``
+    launches. One window per process — run trials in fresh processes and
+    take the median. Keep ``k`` modest (<~100): a long read-free dispatch
+    session can wedge the relay's read path (pathology 3), and chaining
+    already caps the in-flight queue at the relay.
+
+    CAVEAT (measured 2026-08-18): the window necessarily contains the
+    program's FIRST execution, which through the relay carries a
+    program-upload cost of seconds — so for cheap steps this reports a
+    COLD-chain upper bound, often far above ``bench_chained``'s
+    steady-state median. Use it to diagnose gather pathology (where
+    both modes are equally slow the cost is real compute, e.g. the
+    gather-era scene composer at ~931 ms in both) or to bound
+    cold-start; headline steady-state numbers come from
+    ``bench_chained``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    step = jax.jit(step_fn)
+    compiled = step.lower(*step_args, jnp.int32(0), jnp.int32(0)).compile()
+    cost = compiled.cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0]
+    flops = float(cost.get("flops", -1.0)) if cost else -1.0
+
+    carry = jnp.int32(0)
+    t0 = time.perf_counter()
+    for salt in range(1, k + 1):
+        carry = compiled(*step_args, carry, jnp.int32(salt))
+    _ = int(np.asarray(carry))  # first read of the process: ends + proves
+    dt = time.perf_counter() - t0
+    rate = units_per_launch * k / dt
+    mfu = (rate / units_per_launch * flops / peak_flops * 100.0
+           if flops > 0 else None)
+    if mfu is not None and mfu > 100.0:
+        raise SystemExit(
+            f"REFUSING impossible result: {rate:.0f} units/s implies "
+            f"{mfu:.0f}% MFU (> chip peak) — timing is not "
+            f"completion-verified")
+    return {"units_per_s": rate, "launch_ms": units_per_launch / rate * 1e3,
+            "flops_per_launch": flops, "implied_mfu_pct": mfu}
+
+
 def bench_chained(step_fn, step_args, units_per_launch, windows=4,
                   k_per_window=8, peak_flops=V5E_BF16_PEAK_FLOPS):
     """AOT-compile ``step_fn(*step_args, carry, salt) -> carry`` (carry

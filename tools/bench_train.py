@@ -1,0 +1,193 @@
+"""Completion-verified training-step benchmarks (TPU).
+
+    python tools/bench_train.py gan          # paper backbone, batch 50
+    python tools/bench_train.py gan-32       # paper backbone, batch 32
+    python tools/bench_train.py gan-resnet   # resnet50 backbone, batch 50
+    python tools/bench_train.py detector     # CenterNet, batch 8 @ 384^2
+
+Each mode times the EXACT fused program the trainers dispatch — on-device
+batch synthesis (training/data.make_batch or detector_data.
+make_detector_batch) + the full train step (disc x2 + gen update for the
+GAN, fwd+bwd+adam for the detector) — with the chained-carry methodology
+of utils/benchtime.py: launch i+1's PRNG key derives from launch i's
+carry, the carry reduces over EVERY leaf of the updated train state (so
+no part of the update is dead-code-eliminated), and each timed window
+ends with a host read of the carry.
+
+The pre-round-3 figures (15 ms/step GAN batch 32, 3 ms/step detector)
+were measured with the discredited dispatch-then-block pattern; this tool
+re-establishes them honestly. The headline value is the steady-state
+chained-window median (benchtime.bench_chained). A cold-chain figure
+(benchtime.bench_virgin: no host read before a single timed chain) is
+reported too — it bounds first-execution cost (program upload) and,
+for gather-heavy programs, the relay's fast-dispatch mode; with the
+banded-matmul warp the steady numbers no longer depend on the relay
+mode (the 2026-08-18 gather-era composer measured ~931 ms/step in BOTH
+modes; the matmul warp took the steady step to ~40 ms). Run on an idle
+chip, one mode per process:
+
+    for m in gan gan-32 detector; do python tools/bench_train.py $m; done
+"""
+
+import json
+import os
+import sys
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+
+import numpy as np
+
+
+def _checksum(tree):
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_reduce(
+        lambda a, x: a + jnp.sum(jnp.abs(x.astype(jnp.float32))),
+        tree, jnp.float32(0.0))
+
+
+def _carry_out(carry, salt, chk):
+    import jax.numpy as jnp
+
+    # data-dependent but value-bounded: the cast keeps the dependency on
+    # every updated leaf without letting the carry overflow
+    return (carry + salt + (jnp.nan_to_num(chk) * 1e-20).astype(
+        jnp.int32)) % 1000003
+
+
+def _synthetic_patch_store(rng, n=64, n_back=16):
+    import jax
+
+    from pix2pose_tpu.training.data import PatchStore
+
+    mask = np.zeros((n, 128, 128), bool)
+    mask[:, 24:104, 24:104] = True
+    return PatchStore(
+        rgb=jax.device_put(rng.randint(0, 255, (n, 128, 128, 3)).astype(
+            np.uint8)),
+        xyz=jax.device_put(rng.randint(0, 255, (n, 128, 128, 3)).astype(
+            np.uint8)),
+        mask=jax.device_put(mask),
+        extent=jax.device_put(np.full((n,), 80.0, np.float32)),
+        backs=jax.device_put(rng.randint(0, 255, (n_back, 256, 256,
+                                                  3)).astype(np.uint8)))
+
+
+def bench_gan(backbone: str, batch: int):
+    import jax
+    import jax.numpy as jnp
+
+    from pix2pose_tpu.config import TrainConfig
+    from pix2pose_tpu.models import AutoEncoder, Discriminator
+    from pix2pose_tpu.training.data import make_batch
+    from pix2pose_tpu.training.gan import (create_train_state,
+                                           make_train_step)
+    from pix2pose_tpu.utils.benchtime import bench_chained, bench_virgin
+
+    cfg = TrainConfig(batch_size=batch, backbone=backbone)
+    gen, disc = AutoEncoder(backbone=backbone), Discriminator()
+    state = create_train_state(jax.random.PRNGKey(0), gen, disc, cfg)
+    raw_step = make_train_step(gen, disc, cfg)
+    store = _synthetic_patch_store(np.random.RandomState(0))
+    sym = jnp.eye(3)[None]
+    lr = jnp.float32(1e-4)
+
+    def step(state, store, sym, lr, carry, salt):
+        key = jax.random.fold_in(jax.random.PRNGKey(7),
+                                 carry * 8191 + salt)
+        kb, ks = jax.random.split(key)
+        batch_d = make_batch(store, kb, salt, cfg.batch_size)
+        new_state, metrics = raw_step(state, batch_d, sym, lr, ks)
+        return _carry_out(carry, salt,
+                          _checksum(new_state) + _checksum(metrics))
+
+    rc = bench_virgin(step, (state, store, sym, lr), 1)
+    r = bench_chained(step, (state, store, sym, lr), 1)
+    return {
+        "metric": f"GAN train step ms (fused data synthesis, {backbone} "
+                  f"backbone, batch {batch}, completion-verified)",
+        "value": round(r["launch_ms"], 2), "unit": "ms/step",
+        "steps_per_s": round(r["units_per_s"], 2),
+        "implied_mfu_pct": (round(r["implied_mfu_pct"], 2)
+                            if r["implied_mfu_pct"] is not None else None),
+        "flops_per_step": r["flops_per_launch"],
+        "cold_chain_ms": round(rc["launch_ms"], 2),
+    }
+
+
+def bench_detector(batch: int = 8, im_size: int = 384):
+    import jax
+
+    from pix2pose_tpu.models.detector import CenterNetDetector
+    from pix2pose_tpu.training.detector_data import (DetectorStore,
+                                                     make_detector_batch)
+    from pix2pose_tpu.training.detector_train import (create_detector_state,
+                                                      make_detector_step)
+    from pix2pose_tpu.utils.benchtime import bench_chained, bench_virgin
+
+    rng = np.random.RandomState(0)
+    n = 64
+    mask = np.zeros((n, 128, 128), bool)
+    mask[:, 24:104, 24:104] = True
+    store = DetectorStore(
+        rgb=jax.device_put(rng.randint(0, 255, (n, 128, 128, 3)).astype(
+            np.uint8)),
+        mask=jax.device_put(mask),
+        label=jax.device_put((np.arange(n) % 5).astype(np.int32)),
+        extent=jax.device_put(np.full((n,), 80.0, np.float32)),
+        backs=jax.device_put(rng.randint(0, 255, (16, 256, 256, 3)).astype(
+            np.uint8)),
+        num_classes=5)
+    model = CenterNetDetector(num_classes=5)
+    state = create_detector_state(jax.random.PRNGKey(0), model, im_size)
+    raw_step = make_detector_step(model)
+
+    import jax.numpy as jnp
+
+    lr = jnp.float32(2.5e-4)
+
+    def step(state, store, lr, carry, salt):
+        key = jax.random.fold_in(jax.random.PRNGKey(7),
+                                 carry * 8191 + salt)
+        batch_d = make_detector_batch(store, key, batch, im_size)
+        new_state, parts = raw_step(state, batch_d, lr)
+        return _carry_out(carry, salt,
+                          _checksum(new_state) + _checksum(parts))
+
+    rc = bench_virgin(step, (state, store, lr), 1)
+    r = bench_chained(step, (state, store, lr), 1)
+    return {
+        "metric": f"CenterNet detector train step ms (fused scene "
+                  f"synthesis, batch {batch} @ {im_size}^2, "
+                  f"completion-verified)",
+        "value": round(r["launch_ms"], 2), "unit": "ms/step",
+        "steps_per_s": round(r["units_per_s"], 2),
+        "implied_mfu_pct": (round(r["implied_mfu_pct"], 2)
+                            if r["implied_mfu_pct"] is not None else None),
+        "flops_per_step": r["flops_per_launch"],
+        "cold_chain_ms": round(rc["launch_ms"], 2),
+    }
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "gan"
+    if mode == "gan":
+        out = bench_gan("paper", 50)
+    elif mode == "gan-32":
+        out = bench_gan("paper", 32)
+    elif mode == "gan-resnet":
+        out = bench_gan("resnet50", 50)
+    elif mode == "detector":
+        out = bench_detector()
+    else:
+        raise SystemExit(f"unknown mode {mode!r}")
+    import jax
+
+    out["device"] = str(jax.devices()[0])
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
