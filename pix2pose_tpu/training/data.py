@@ -232,14 +232,16 @@ def _one_sample(key, rgb_u8, xyz_u8, mask, extent, back_u8, stage2,
     return src, tgt, (prob > 0.5).astype(jnp.float32)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("batch_size", "full_rotation"))
-def make_batch(store: PatchStore, key, step, batch_size: int = 50,
-               full_rotation: bool = True):
-    """One training batch. Stage-2-style inputs on even steps, plain
-    stage-1 inputs on odd (``data_io.py:203``: ``batch_count % 2``)."""
+def _make_batch(store: PatchStore, key, step, batch_size: int = 50,
+                full_rotation=True, n_valid=None):
+    """``make_batch`` body; ``full_rotation`` and ``n_valid`` may be
+    traced (the former only feeds a ``jnp.where`` in ``_one_sample``,
+    the latter a ``randint`` bound), which lets the multi-object trainer
+    (``training/multi.py``) vmap this over per-object rotation locks and
+    per-object store sizes inside padded stacks."""
     kidx, kback, kaug = jax.random.split(key, 3)
-    idx = jax.random.randint(kidx, (batch_size,), 0, store.n_data)
+    hi = store.n_data if n_valid is None else n_valid
+    idx = jax.random.randint(kidx, (batch_size,), 0, hi)
     bidx = jax.random.randint(kback, (batch_size,), 0,
                               store.backs.shape[0])
     stage2 = (step % 2) == 0
@@ -250,6 +252,15 @@ def make_batch(store: PatchStore, key, step, batch_size: int = 50,
                                     store.backs[b], stage2, full_rotation)
     )(keys, idx, bidx)
     return {"src": src, "tgt": tgt, "prob_gt": prob}
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("batch_size", "full_rotation"))
+def make_batch(store: PatchStore, key, step, batch_size: int = 50,
+               full_rotation: bool = True):
+    """One training batch. Stage-2-style inputs on even steps, plain
+    stage-1 inputs on odd (``data_io.py:203``: ``batch_count % 2``)."""
+    return _make_batch(store, key, step, batch_size, full_rotation)
 
 
 jax.tree_util.register_pytree_node(

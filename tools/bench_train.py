@@ -4,6 +4,8 @@
     python tools/bench_train.py gan-32       # paper backbone, batch 32
     python tools/bench_train.py gan-resnet   # resnet50 backbone, batch 50
     python tools/bench_train.py detector     # CenterNet, batch 8 @ 384^2
+    python tools/bench_train.py multi-4      # fused 4-object GAN step
+                                             # (training/multi.py), batch 32
 
 Each mode times the EXACT fused program the trainers dispatch — on-device
 batch synthesis (training/data.make_batch or detector_data.
@@ -117,6 +119,59 @@ def bench_gan(backbone: str, batch: int):
     }
 
 
+def bench_multi(k_obj: int, backbone: str = "paper", batch: int = 32):
+    """Fused K-object GAN step (training/multi.py) — one launch trains K
+    networks; compare ms/step against k_obj x the single-object `gan-32`
+    number to quantify the fusion win over the reference's sequential
+    train.sh loop."""
+    import jax
+    import jax.numpy as jnp
+
+    from pix2pose_tpu.config import TrainConfig
+    from pix2pose_tpu.models import AutoEncoder, Discriminator
+    from pix2pose_tpu.training.gan import create_train_state
+    from pix2pose_tpu.training.multi import (make_multi_step, stack_states,
+                                             stack_stores, stack_sym_pools)
+    from pix2pose_tpu.utils.benchtime import bench_chained, bench_virgin
+
+    cfg = TrainConfig(batch_size=batch, backbone=backbone)
+    gen, disc = AutoEncoder(backbone=backbone), Discriminator()
+    states = [create_train_state(jax.random.PRNGKey(o), gen, disc, cfg)
+              for o in range(k_obj)]
+    stacked = stack_states(states)
+    rng = np.random.RandomState(0)
+    store, n_valid = stack_stores(
+        [_synthetic_patch_store(rng) for _ in range(k_obj)])
+    pools = stack_sym_pools([np.eye(3, dtype=np.float32)[None]] * k_obj)
+    full_rot = jnp.ones((k_obj,), bool)
+    lr = jnp.float32(1e-4)
+    raw = make_multi_step(gen, disc, cfg)
+
+    def step(stacked, store, n_valid, full_rot, pools, lr, carry, salt):
+        key = jax.random.fold_in(jax.random.PRNGKey(7),
+                                 carry * 8191 + salt)
+        keys = jax.random.split(key, k_obj)
+        new_state, metrics = raw(stacked, store, n_valid, full_rot, pools,
+                                 salt, lr, keys)
+        return _carry_out(carry, salt,
+                          _checksum(new_state) + _checksum(metrics))
+
+    args = (stacked, store, n_valid, full_rot, pools, lr)
+    rc = bench_virgin(step, args, 1)
+    r = bench_chained(step, args, 1)
+    return {
+        "metric": f"fused {k_obj}-object GAN train step ms ({backbone} "
+                  f"backbone, batch {batch}/object, completion-verified)",
+        "value": round(r["launch_ms"], 2), "unit": "ms/step",
+        "object_steps_per_s": round(r["units_per_s"] * k_obj, 2),
+        "ms_per_object_step": round(r["launch_ms"] / k_obj, 2),
+        "implied_mfu_pct": (round(r["implied_mfu_pct"], 2)
+                            if r["implied_mfu_pct"] is not None else None),
+        "flops_per_step": r["flops_per_launch"],
+        "cold_chain_ms": round(rc["launch_ms"], 2),
+    }
+
+
 def bench_detector(batch: int = 8, im_size: int = 384):
     import jax
 
@@ -181,6 +236,8 @@ def main():
         out = bench_gan("resnet50", 50)
     elif mode == "detector":
         out = bench_detector()
+    elif mode.startswith("multi-"):
+        out = bench_multi(int(mode.split("-", 1)[1]))
     else:
         raise SystemExit(f"unknown mode {mode!r}")
     import jax
