@@ -6,3 +6,11 @@ from pix2pose_tpu.training.gan import (  # noqa: F401
     create_train_state,
     make_train_step,
 )
+from pix2pose_tpu.training.multi import (  # noqa: F401
+    make_multi_step,
+    stack_states,
+    stack_stores,
+    stack_sym_pools,
+    train_objects,
+    unstack_state,
+)
