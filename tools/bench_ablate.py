@@ -44,8 +44,8 @@ def _patched_batch(**overrides):
 
     orig = pnp_ops.pnp_ransac_batch
 
-    def run(obj_pts, img_pts, valid, K, keys, **kw):
-        return orig(obj_pts, img_pts, valid, K, keys,
+    def run(obj_pts, img_pts, valid, K, keys, quality=None, **kw):
+        return orig(obj_pts, img_pts, valid, K, keys, quality,
                     **{**kw, **overrides})
 
     return run
@@ -71,7 +71,8 @@ def apply_mode(mode: str):
 
         import jax
 
-        def stub_batch(obj_pts, img_pts, valid, K, keys, **kw):
+        def stub_batch(obj_pts, img_pts, valid, K, keys, quality=None,
+                       **kw):
             return jax.vmap(stub, in_axes=(0, 0, 0, None, 0),
                             out_axes=0)(obj_pts, img_pts, valid, K, keys)
 
@@ -89,7 +90,7 @@ def apply_mode(mode: str):
         # (accuracy-meaningless; isolates the permutation-sampling cost)
         import jax
 
-        def cheap(key, valid, n_hyp, k=6):
+        def cheap(key, valid, n_hyp, k=6, quality=None, quality_pow=2.0):
             n = valid.shape[0]
             off = jax.random.randint(key, (n_hyp, 1), 0, n)
             return (off + jnp.arange(k, dtype=jnp.int32)[None, :]) % n
