@@ -176,7 +176,8 @@ def sweep_table(n_seeds: int = 3):
     return rows
 
 
-def main():
+def main(argv=None):
+    del argv  # no arguments: the sweep grid is the fixed oracle contract
     rows = sweep_table()
     print("| rot(deg) | trans(mm) | noise(mm) | outliers | overlap |"
           " ADD init (mm) | ADD final med (mm) | ADD final max (mm) |")
