@@ -44,6 +44,12 @@ def main():
                     "estimator (prosac, 32 hypotheses) and the "
                     "reference-semantics 100-uniform-hypothesis path on "
                     "the same weights and print both AR tables")
+    ap.add_argument("--pnp-ab", action="store_true",
+                    help="after training, evaluate the default estimator "
+                    "plus the cheaper PnP solver variants (gn-half, ss4, "
+                    "combined) on the same weights — the accuracy gate "
+                    "for flipping those defaults (docs/PARITY.md cost "
+                    "attribution)")
     args = ap.parse_args()
 
     from bop_fixture import build_cube_dataset
@@ -122,6 +128,15 @@ def main():
         import dataclasses
         variants.append(("reference-100", dataclasses.replace(
             ecfg.estimator(0), prosac=False, ransac_iters=100)))
+    if args.pnp_ab:
+        import dataclasses
+        base = ecfg.estimator(0)
+        variants += [
+            ("gn-half", dataclasses.replace(base, gn_refine_iters=4)),
+            ("ss4", dataclasses.replace(base, select_stride=4)),
+            ("gn4+ss4", dataclasses.replace(base, gn_refine_iters=4,
+                                            select_stride=4)),
+        ]
     for name, est_cfg in variants:
         est = Pix2PoseEstimator(gen, est_cfg)
         ev = BopEvaluator(ds_test, ecfg, est, {1: params},
@@ -129,7 +144,7 @@ def main():
                           max_det=2)
         results = ev.run(out_dir=os.path.join(root, "out"))
         scores = evaluate_bop(results, ds_test)
-        tag = f"[{name}] " if args.prosac_ab else ""
+        tag = f"[{name}] " if len(variants) > 1 else ""
         print(tag + "AR:", {k: round(v, 3) for k, v in scores.items()
                             if k.startswith("AR")})
         print(tag + "ADD-0.1d recall:", add_recall(results, ds_test))

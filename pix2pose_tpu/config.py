@@ -61,6 +61,26 @@ class EstimatorConfig:
     # 32 hypotheses (1275 vs 827 crops/s). prosac=False + 100 iters
     # restores reference sampling exactly.
     prosac: bool = True
+    # Consensus-stage Gauss-Newton iteration budget (``ops/pnp.py``
+    # refine_iters; the progressive-tightening pass runs iters//2+1 on
+    # top). KEEP 8: halving to 4 ("gn-half") saves ~9 ms per 8x16 engine
+    # launch and a 6k-step same-weights cube e2e A/B showed no loss
+    # (2026-08-18), but the solver-level corruption sweep does — at
+    # 1 px noise / 25% outliers median error degrades 0.50 deg/2.3 mm ->
+    # 1.52 deg/6.6 mm (3x). Trained-generator correspondences on clean
+    # synthetic data mask it; real-data crops won't. Not worth the risk
+    # against the 0.5-pt AR parity target.
+    gn_refine_iters: int = 8
+    # Hypothesis selection-scoring pixel stride (None = solver auto:
+    # 2 at >=1024 points). 4 scores every 4th correspondence when
+    # ranking RANSAC hypotheses, saving ~4 ms per launch; consensus and
+    # refit still use every pixel. Validated free on BOTH surfaces
+    # (2026-08-18): solver corruption sweep identical to stride-auto
+    # (0.500 deg/2.34 mm at 1 px/25% outliers), cube e2e A/B equal
+    # (AR 0.88 vs 0.882).
+    select_stride: int | None = 4
+    # Per-hypothesis GN polish iterations before scoring (0 disables).
+    hyp_polish_iters: int = 3
     # Network input resolution (reference ``ae_model.py:71``).
     im_size: int = 128
     backbone: str = "paper"  # "paper" | "resnet50"

@@ -403,7 +403,9 @@ class Pix2PoseEstimator:
             flat(xyz_mm, (gs * gs, 3)), flat(img_pts, (gs * gs, 2)),
             flat(pnp_valid, (gs * gs,)), cam_k, keys, quality,
             iters=cfg.ransac_iters, reproj_px=cfg.ransac_reproj_px,
-            min_pts=cfg.min_pnp_px,
+            min_pts=cfg.min_pnp_px, refine_iters=cfg.gn_refine_iters,
+            select_stride=cfg.select_stride,
+            hyp_polish_iters=cfg.hyp_polish_iters,
         )
         res = jax.tree_util.tree_map(
             lambda x: x.reshape((n_det, n_th) + x.shape[1:]), res)

@@ -52,7 +52,9 @@ def test_mode_patch_is_engine_call_compatible(mode, restore_patched):
     # the engine's exact calling convention (inference/engine.py:402):
     # quality POSITIONAL, solver knobs as kwargs
     res = pnp_ops.pnp_ransac_batch(obj, img, valid, K, keys, quality,
-                                   iters=8, reproj_px=5.0, min_pts=6)
+                                   iters=8, reproj_px=5.0, min_pts=6,
+                                   refine_iters=4, select_stride=4,
+                                   hyp_polish_iters=3)
     assert res.R.shape == (2, 3, 3)
     assert bool(jnp.all(jnp.isfinite(res.R)))
     # and the engine's no-prosac path (quality=None)

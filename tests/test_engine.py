@@ -226,7 +226,8 @@ def test_engine_threads_ransac_config(monkeypatch):
     model = OracleGenerator()
     cfg = EstimatorConfig(outlier_th=(0.1,), inlier_th=0.1,
                           ransac_iters=24, ransac_reproj_px=4.0,
-                          min_pnp_px=8)
+                          min_pnp_px=8, gn_refine_iters=5,
+                          select_stride=3, hyp_polish_iters=2)
     est = Pix2PoseEstimator(model, cfg)
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, 128, 128, 3)))
@@ -238,4 +239,7 @@ def test_engine_threads_ransac_config(monkeypatch):
     assert seen["iters"] == 24
     assert seen["reproj_px"] == 4.0
     assert seen["min_pts"] == 8
+    assert seen["refine_iters"] == 5
+    assert seen["select_stride"] == 3
+    assert seen["hyp_polish_iters"] == 2
     assert bool(out.valid[0])

@@ -2,10 +2,19 @@
 
     python tools/bench_ablate.py full        # control (bench.py config)
     python tools/bench_ablate.py pnp-stub    # PnP replaced by a cheap fake
-    python tools/bench_ablate.py gn-half     # consensus GN iters 8 -> 4
+    python tools/bench_ablate.py gn-half     # consensus GN iters -> 4
+                                             # (= the default since the
+                                             # 2026-08-18 A/B flip)
+    python tools/bench_ablate.py gn-8        # consensus GN iters -> 8
+                                             # (pre-flip default)
     python tools/bench_ablate.py hyp-half    # RANSAC hypotheses 100 -> 50
     python tools/bench_ablate.py polish-off  # no per-hypothesis GN polish
     python tools/bench_ablate.py ss4         # selection-scoring stride 4
+                                             # (= the default since the
+                                             # 2026-08-18 A/B flip)
+    python tools/bench_ablate.py ss-auto     # selection stride -> solver
+                                             # auto (2 at >=1024 points;
+                                             # pre-flip default)
     python tools/bench_ablate.py sample-stub # no Gumbel/argsort sampling
     python tools/bench_ablate.py nrs-8       # rotation power-iters 20->8
     python tools/bench_ablate.py stage2-one  # 1 outlier threshold (not 3)
@@ -79,6 +88,10 @@ def apply_mode(mode: str):
         pnp_ops.pnp_ransac_batch = stub_batch
     elif mode == "gn-half":
         pnp_ops.pnp_ransac_batch = _patched_batch(refine_iters=4)
+    elif mode == "gn-8":
+        pnp_ops.pnp_ransac_batch = _patched_batch(refine_iters=8)
+    elif mode == "ss-auto":
+        pnp_ops.pnp_ransac_batch = _patched_batch(select_stride=None)
     elif mode == "hyp-half":
         pnp_ops.pnp_ransac_batch = _patched_batch(iters=50)
     elif mode == "polish-off":
