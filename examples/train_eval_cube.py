@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--steps", type=int, default=3000)
     ap.add_argument("--train-views", type=int, default=48)
     ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--dtype", choices=["float32", "bfloat16"],
+                    default="float32",
+                    help="training compute dtype (mixed precision)")
     ap.add_argument("--backbone", choices=["paper", "resnet50"],
                     default="paper",
                     help="generator encoder (resnet50 = BOP'20 variant, "
@@ -87,8 +90,9 @@ def main():
 
     store = PatchStore.load(
         os.path.join(root, "cubes", "train_xyz", "01"), back_dir)
-    cfg = TrainConfig(batch_size=args.batch)
-    gen, disc = AutoEncoder(backbone=args.backbone), Discriminator()
+    cfg = TrainConfig(batch_size=args.batch, compute_dtype=args.dtype)
+    gen = AutoEncoder(backbone=args.backbone, dtype=cfg.jnp_dtype)
+    disc = Discriminator(dtype=cfg.jnp_dtype)
     state = create_train_state(jax.random.PRNGKey(0), gen, disc, cfg)
     raw_step = make_train_step(gen, disc, cfg)
     sym = jnp.eye(3)[None]

@@ -99,7 +99,8 @@ def make_train_step(gen_model, disc_model, cfg: TrainConfig):
             logits, new = disc_model.apply(
                 {"params": p, "batch_stats": stats}, imgs, train=True,
                 mutable=["batch_stats"])
-            return bce_logits(logits, labels), new["batch_stats"]
+            return (bce_logits(logits.astype(jnp.float32), labels),
+                    new["batch_stats"])
 
         (loss, new_stats), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
@@ -117,7 +118,9 @@ def make_train_step(gen_model, disc_model, cfg: TrainConfig):
         fake, _ = gen_model.apply(
             {"params": state.gen_params, "batch_stats": state.gen_stats},
             src)
-        fake = jax.lax.stop_gradient(fake)
+        # under compute_dtype=bfloat16 the model emits bf16; losses/labels
+        # stay fp32 (no-op casts in the fp32 configuration)
+        fake = jax.lax.stop_gradient(fake).astype(jnp.float32)
         y_fake = jax.random.uniform(ks1, (bsz,), minval=0.0, maxval=0.1)
         flip_f = jax.random.bernoulli(kf, cfg.label_flipping)
         y_fake = jnp.where(flip_f, jnp.ones_like(y_fake), y_fake)
@@ -137,11 +140,12 @@ def make_train_step(gen_model, disc_model, cfg: TrainConfig):
             (gen_img, prob), new = gen_model.apply(
                 {"params": gp, "batch_stats": state.gen_stats}, src,
                 train=True, mutable=["batch_stats"])
-            recon = jnp.mean(
-                transformer_loss(gen_img, tgt, prob, prob_gt, sym_pool))
+            recon = jnp.mean(transformer_loss(
+                gen_img.astype(jnp.float32), tgt,
+                prob.astype(jnp.float32), prob_gt, sym_pool))
             logits = disc_model.apply(
                 {"params": dp, "batch_stats": dstats}, gen_img)
-            adv = bce_logits(logits, jnp.ones((bsz,)))
+            adv = bce_logits(logits.astype(jnp.float32), jnp.ones((bsz,)))
             total = cfg.loss_weight_recon * recon + cfg.loss_weight_gan * adv
             return total, (new["batch_stats"], recon, adv)
 

@@ -128,8 +128,8 @@ def train_objects(dataset: BopDataset, obj_ids: Sequence[int],
     weight_root = weight_root or os.path.join(dataset.dir,
                                               "pix2pose_weights")
     stores, full_rots, pools, states, epochs = [], [], [], [], []
-    gen = AutoEncoder(backbone=cfg.backbone)
-    disc = Discriminator()
+    gen = AutoEncoder(backbone=cfg.backbone, dtype=cfg.jnp_dtype)
+    disc = Discriminator(dtype=cfg.jnp_dtype)
     for obj_id in obj_ids:
         data_dir = (os.path.join(data_root, f"{obj_id:02d}") if data_root
                     else os.path.join(dataset.dir, "train_xyz",
@@ -256,11 +256,14 @@ def main(argv: Sequence[str] | None = None):
     p.add_argument("--batch", type=int, default=None)
     p.add_argument("--max-steps", type=int, default=None)
     p.add_argument("--imagenet-h5", default=None)
+    p.add_argument("--dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="conv compute dtype (mixed precision; params fp32)")
     args = p.parse_args(argv)
 
     ecfg = load_eval_config(args.cfg)
     ds = BopDataset(ecfg.dataset_dir, args.dataset, train=True)
-    kw = {}
+    kw = {"compute_dtype": args.dtype}
     if args.epochs:
         kw["max_epoch"] = args.epochs
     if args.batch:

@@ -81,8 +81,8 @@ def train_object(dataset: BopDataset, obj_id: int, back_dir: str,
             full_rot = not json.load(f).get("rotation_lock", False)
 
     sym_pool = jnp.asarray(dataset.symmetry_pool(obj_id))
-    gen = AutoEncoder(backbone=cfg.backbone)
-    disc = Discriminator()
+    gen = AutoEncoder(backbone=cfg.backbone, dtype=cfg.jnp_dtype)
+    disc = Discriminator(dtype=cfg.jnp_dtype)
     state = create_train_state(jax.random.PRNGKey(obj_id), gen, disc, cfg)
     state, epoch = _maybe_resume(weight_dir, state)
     if imagenet_h5 and epoch == 0:
@@ -178,16 +178,19 @@ def main(argv: Sequence[str] | None = None):
                    help="keras-applications notop resnet50 h5: pretrained "
                         "trunk init for fresh resnet50-backbone runs "
                         "(reference resnet50_mod.py:246-258)")
+    p.add_argument("--dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="conv compute dtype (mixed precision; params fp32)")
     args = p.parse_args(argv)
 
     ecfg = load_eval_config(args.cfg)
     ds = BopDataset(ecfg.dataset_dir, args.dataset, train=True)
-    tcfg = TrainConfig(backbone=ecfg.backbone)
+    kw = {"backbone": ecfg.backbone, "compute_dtype": args.dtype}
     if args.epochs:
-        tcfg = TrainConfig(backbone=ecfg.backbone, max_epoch=args.epochs,
-                           batch_size=args.batch or 50)
+        kw.update(max_epoch=args.epochs, batch_size=args.batch or 50)
     elif args.batch:
-        tcfg = TrainConfig(backbone=ecfg.backbone, batch_size=args.batch)
+        kw.update(batch_size=args.batch)
+    tcfg = TrainConfig(**kw)
     train_object(ds, args.obj_id, args.back_dir, tcfg,
                  max_steps=args.max_steps, imagenet_h5=args.imagenet_h5)
 

@@ -53,6 +53,29 @@ def test_single_device_step_and_loss_decreases(setup):
     assert np.isfinite(losses).all()
 
 
+def test_bf16_mixed_precision_step():
+    """compute_dtype=bfloat16: params/losses stay fp32, step runs, and the
+    loss decreases like the fp32 path (mixed-precision training option)."""
+    cfg = TrainConfig(batch_size=4, compute_dtype="bfloat16")
+    gen = AutoEncoder(backbone="paper", dtype=cfg.jnp_dtype)
+    disc = Discriminator(dtype=cfg.jnp_dtype)
+    state = create_train_state(jax.random.PRNGKey(0), gen, disc, cfg)
+    # params must remain fp32 (standard mixed precision)
+    leaves = jax.tree_util.tree_leaves(state.gen_params)
+    assert all(l.dtype == jnp.float32 for l in leaves)
+    step = jax.jit(make_train_step(gen, disc, cfg))
+    rng = np.random.RandomState(0)
+    batch = synth_batch(rng)
+    sym = jnp.eye(3)[None]
+    losses = []
+    for i in range(6):
+        state, metrics = step(state, batch, sym, 1e-3, jax.random.PRNGKey(i))
+        assert metrics["recon_loss"].dtype == jnp.float32
+        losses.append(float(metrics["recon_loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.9, losses
+
+
 def test_dp_sharded_step(setup):
     gen, disc, cfg, state, step = setup
     mesh = make_mesh((1, 8))

@@ -77,7 +77,7 @@ def _synthetic_patch_store(rng, n=64, n_back=16):
                                                   3)).astype(np.uint8)))
 
 
-def bench_gan(backbone: str, batch: int):
+def bench_gan(backbone: str, batch: int, compute_dtype: str = "float32"):
     import jax
     import jax.numpy as jnp
 
@@ -88,8 +88,10 @@ def bench_gan(backbone: str, batch: int):
                                            make_train_step)
     from pix2pose_tpu.utils.benchtime import bench_chained, bench_virgin
 
-    cfg = TrainConfig(batch_size=batch, backbone=backbone)
-    gen, disc = AutoEncoder(backbone=backbone), Discriminator()
+    cfg = TrainConfig(batch_size=batch, backbone=backbone,
+                      compute_dtype=compute_dtype)
+    gen = AutoEncoder(backbone=backbone, dtype=cfg.jnp_dtype)
+    disc = Discriminator(dtype=cfg.jnp_dtype)
     state = create_train_state(jax.random.PRNGKey(0), gen, disc, cfg)
     raw_step = make_train_step(gen, disc, cfg)
     store = _synthetic_patch_store(np.random.RandomState(0))
@@ -109,7 +111,8 @@ def bench_gan(backbone: str, batch: int):
     r = bench_chained(step, (state, store, sym, lr), 1)
     return {
         "metric": f"GAN train step ms (fused data synthesis, {backbone} "
-                  f"backbone, batch {batch}, completion-verified)",
+                  f"backbone, batch {batch}, {compute_dtype}, "
+                  f"completion-verified)",
         "value": round(r["launch_ms"], 2), "unit": "ms/step",
         "steps_per_s": round(r["units_per_s"], 2),
         "implied_mfu_pct": (round(r["implied_mfu_pct"], 2)
@@ -232,6 +235,10 @@ def main():
         out = bench_gan("paper", 50)
     elif mode == "gan-32":
         out = bench_gan("paper", 32)
+    elif mode == "gan-bf16":
+        out = bench_gan("paper", 50, compute_dtype="bfloat16")
+    elif mode == "gan-32-bf16":
+        out = bench_gan("paper", 32, compute_dtype="bfloat16")
     elif mode == "gan-resnet":
         out = bench_gan("resnet50", 50)
     elif mode == "detector":
