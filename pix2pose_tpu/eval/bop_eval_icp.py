@@ -200,6 +200,11 @@ class BopEvaluatorICP:
     # per-ROI loop. Kept as the behavioral oracle for the batched path.
     def _process_image_serial(self, rgb, depth, cam_k, scene_id, im_id,
                               obj_id_targets, inst_counts, key):
+        # speckle removal before the cloud+normal precompute — isolated
+        # gross depth outliers otherwise corrupt the gradient-based
+        # normals over their whole smoothing neighborhood (see
+        # geometry.despeckle_depth)
+        depth = geometry.despeckle_depth_np(depth)
         depth_valid = (depth > 0.2) & (depth < 2.2)  # ``icp3d:367``
         tgt_pts = self._backproject(jnp.asarray(depth), cam_k)
         tgt_normals = self._normals(jnp.asarray(depth), cam_k)
@@ -284,8 +289,10 @@ class BopEvaluatorICP:
     # computation is gate-independent, so results match the serial path.
     def _process_image_batched(self, rgb, depth, cam_k, scene_id, im_id,
                                obj_id_targets, inst_counts, key):
-        depth_valid = (depth > 0.2) & (depth < 2.2)  # ``icp3d:367``
+        # speckle removal, as in the serial path
+        depth = geometry.despeckle_depth_np(depth)
         depth_j = jnp.asarray(depth)
+        depth_valid = (depth > 0.2) & (depth < 2.2)  # ``icp3d:367``
         tgt_pts = self._backproject(depth_j, cam_k)
         tgt_normals = self._normals(depth_j, cam_k)
 

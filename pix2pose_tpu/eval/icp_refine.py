@@ -65,9 +65,15 @@ def _sample_masked(key, mask_flat, n_sample):
     return idx, valid & first
 
 
+def _masked_median3(pts, valid):
+    """Per-axis median of (N,3) points over a validity mask."""
+    return jax.vmap(lambda x: icp._masked_quantile(x, valid, 0.5),
+                    in_axes=1)(pts)
+
+
 def _refine_body(verts_m, faces, im_h, im_w, n_src, n_tgt, icp_iters,
-                 R, t_mm, cam_k, union_mask, depth_m, tgt_pts, tgt_normals,
-                 key):
+                 icp_rounds, R, t_mm, cam_k, union_mask, depth_m, tgt_pts,
+                 tgt_normals, key):
     """Single-hypothesis refine+score; see module docstring for citations.
 
     Args:
@@ -87,82 +93,117 @@ def _refine_body(verts_m, faces, im_h, im_w, n_src, n_tgt, icp_iters,
     # costs nothing. (The ICP core sets the same precision internally.)
     with jax.default_matmul_precision("highest"):
         return _refine_body_inner(verts_m, faces, im_h, im_w, n_src,
-                                  n_tgt, icp_iters, R, t_mm, cam_k,
-                                  union_mask, depth_m, tgt_pts,
+                                  n_tgt, icp_iters, icp_rounds, R, t_mm,
+                                  cam_k, union_mask, depth_m, tgt_pts,
                                   tgt_normals, key)
 
 
 def _refine_body_inner(verts_m, faces, im_h, im_w, n_src, n_tgt, icp_iters,
-                       R, t_mm, cam_k, union_mask, depth_m, tgt_pts,
-                       tgt_normals, key):
+                       icp_rounds, R, t_mm, cam_k, union_mask, depth_m,
+                       tgt_pts, tgt_normals, key):
     k1, k2 = jax.random.split(key)
-    # translation sanity reset (``icp3d:61-62``)
     tgt_flat = tgt_pts.reshape(-1, 3)
     um_flat = union_mask.reshape(-1)
-    n_um = jnp.maximum(jnp.sum(um_flat), 1)
-    centroid_tgt = jnp.sum(
-        jnp.where(um_flat[:, None], tgt_flat, 0.0), 0) / n_um
-    bad_t = (t_mm[2] < 300.0) | (t_mm[2] > 5000.0)
-    t_mm = jnp.where(bad_t, centroid_tgt * 1000.0, t_mm)
 
-    # render at the initial pose (depth in meters)
-    t_m = t_mm / 1000.0
-    rout_init = rasterizer.render_mesh(
-        verts_m, faces, jnp.zeros((verts_m.shape[0], 1)), R, t_m, cam_k,
-        im_h, im_w)
-    depth_init, mask_init = rout_init.depth, rout_init.mask
-    init_mask = mask_init & union_mask
-    enough = jnp.sum(init_mask) >= 10  # ``icp3d:73-76``
-
-    # source cloud: rendered depth + normals within the mask
-    src_pts_full = geometry.backproject(depth_init, cam_k)
-    src_flat = src_pts_full.reshape(-1, 3)
-    sidx, svalid = _sample_masked(k1, init_mask.reshape(-1), n_src)
-    src = jnp.take(src_flat, sidx, axis=0)
-
-    # centroid pre-alignment (``icp3d:82-86``)
-    n_sv = jnp.maximum(jnp.sum(svalid), 1)
-    centroid_src = jnp.sum(
-        jnp.where(svalid[:, None], src, 0.0), 0) / n_sv
-    shift = centroid_tgt - centroid_src
-    src = src + shift
-    t_mm = t_mm + shift * 1000.0
-
-    # target cloud sample
+    # target cloud sample (taken up front: the robust centroid below is
+    # computed over the fixed-size sample, not the full image, so the
+    # per-axis medians sort 4k points instead of H*W)
     tidx, tvalid = _sample_masked(k2, um_flat & (
         depth_m.reshape(-1) > 0), n_tgt)
     tgt = jnp.take(tgt_flat, tidx, axis=0)
     tgt_n = jnp.take(tgt_normals.reshape(-1, 3), tidx, axis=0)
 
-    res = icp.icp_point_to_plane(src, tgt, tgt_n, src_valid=svalid,
-                                 tgt_valid=tvalid, iters=icp_iters)
-    # compose: x_tgt = dR (R x + t) + dt (``icp3d:91-93``)
-    R_ref = res.R @ R
-    t_ref_mm = (res.R @ (t_mm / 1000.0) + res.t) * 1000.0
-    use = res.ok & enough
-    R_ref = jnp.where(use, R_ref, R)
-    t_ref_mm = jnp.where(use, t_ref_mm, t_mm)
+    # ROBUST target centroid: per-axis median. Mask pixels landing on
+    # background/neighbor depth (the common real-scene failure the
+    # rejectionScale exists for) shift a MEAN centroid by tens of mm —
+    # measured: 30% gross outliers in [0.3, 1.2] m moved the mean-based
+    # prealignment ~75 mm along z, which then dominated the final error.
+    centroid_tgt = _masked_median3(tgt, tvalid)
+    bad_t = (t_mm[2] < 300.0) | (t_mm[2] > 5000.0)
+    t_mm = jnp.where(bad_t, centroid_tgt * 1000.0, t_mm)
+
+    # Refine rounds: render at the current pose -> sample source cloud ->
+    # ICP -> compose, REPEATED. The source cloud is only valid for the
+    # pose it was rendered at — from a 10-20 mm-off init it contains face
+    # regions not visible in the sensor view, and those points lock onto
+    # adjacent target geometry, stalling a single ICP pass 4-8 mm off
+    # even on clean data (measured). Re-rendering at the round-1 pose
+    # shrinks that visibility mismatch to near zero. (The reference
+    # renders once, ``icp3d:64-68``; the extra rounds only tighten
+    # convergence.) Centroid pre-alignment (``icp3d:82-86``) runs in
+    # round 0 only — later rounds start in-basin.
+    enough = jnp.asarray(True)
+    overflow = jnp.int32(0)
+    R_in, t_in_mm = R, t_mm
+    depth_at_input = None
+    for rnd in range(icp_rounds):
+        rout = rasterizer.render_mesh(
+            verts_m, faces, jnp.zeros((verts_m.shape[0], 1)), R,
+            t_mm / 1000.0, cam_k, im_h, im_w)
+        overflow = overflow + jnp.int32(rout.overflow)
+        rmask = rout.mask & union_mask
+        if rnd == 0:
+            enough = jnp.sum(rmask) >= 10  # ``icp3d:73-76``
+            depth_at_input = rout.depth  # for the score guard below
+
+        src_flat = geometry.backproject(rout.depth, cam_k).reshape(-1, 3)
+        sidx, svalid = _sample_masked(k1, rmask.reshape(-1), n_src)
+        src = jnp.take(src_flat, sidx, axis=0)
+
+        if rnd == 0:
+            # median-for-median so the two sides estimate the same
+            # statistic of the visible surface
+            centroid_src = _masked_median3(src, svalid)
+            shift = centroid_tgt - centroid_src
+            src = src + shift
+            t_mm = t_mm + shift * 1000.0
+
+        res = icp.icp_point_to_plane(src, tgt, tgt_n, src_valid=svalid,
+                                     tgt_valid=tvalid, iters=icp_iters)
+        # compose: x_tgt = dR (R x + t) + dt (``icp3d:91-93``)
+        use = res.ok & enough
+        R = jnp.where(use, res.R @ R, R)
+        t_mm = jnp.where(use,
+                         (res.R @ (t_mm / 1000.0) + res.t) * 1000.0, t_mm)
+    R_ref, t_ref_mm = R, t_mm
 
     # re-render + depth-consistency score (``icp3d:471-491``)
     rout_ref = rasterizer.render_mesh(
         verts_m, faces, jnp.zeros((verts_m.shape[0], 1)), R_ref,
         t_ref_mm / 1000.0, cam_k, im_h, im_w)
-    depth_ref = rout_ref.depth
-    dz = jnp.abs(depth_ref - depth_m)
     in_union = union_mask & (depth_m > 0)
-    inlier = in_union & (dz < 0.02) & (depth_ref > 0)
-    fcn = jnp.sum(
-        jnp.where(in_union, jnp.maximum(0.0, 0.02 - dz), 0.0)) / 0.02
-    ratio = jnp.sum(inlier) / jnp.maximum(jnp.sum(in_union), 1)
-    return RefineOut(R=R_ref, t_mm=t_ref_mm, score=fcn, ratio=ratio,
-                     inlier_mask=inlier, ok=use & enough,
-                     overflow=(jnp.int32(rout_init.overflow)
-                               + jnp.int32(rout_ref.overflow)))
+
+    def score_depth(depth_ref):
+        dz = jnp.abs(depth_ref - depth_m)
+        inlier = in_union & (dz < 0.02) & (depth_ref > 0)
+        fcn = jnp.sum(
+            jnp.where(in_union, jnp.maximum(0.0, 0.02 - dz), 0.0)) / 0.02
+        ratio = jnp.sum(inlier) / jnp.maximum(jnp.sum(in_union), 1)
+        return fcn, ratio, inlier
+
+    fcn, ratio, inlier = score_depth(rout_ref.depth)
+    # Score guard: never return a pose scoring worse than the input pose
+    # (its render is the round-0 render, pre-prealignment). ICP outside
+    # its convergence basin can wander arbitrarily far (measured: a
+    # 63 mm-off init diverged to 1.4 m on one seed); the guard clamps
+    # such failures to "no improvement" at zero extra renders. The
+    # reference has no equivalent — its ICP output is used
+    # unconditionally — so this only ever helps.
+    fcn0, ratio0, inlier0 = score_depth(depth_at_input)
+    revert = fcn0 > fcn
+    return RefineOut(
+        R=jnp.where(revert, R_in, R_ref),
+        t_mm=jnp.where(revert, t_in_mm, t_ref_mm),
+        score=jnp.where(revert, fcn0, fcn),
+        ratio=jnp.where(revert, ratio0, ratio),
+        inlier_mask=jnp.where(revert, inlier0, inlier),
+        ok=use & enough,
+        overflow=overflow + jnp.int32(rout_ref.overflow))
 
 
 def make_icp_refiner(verts_m, faces, im_h: int, im_w: int,
                      n_src: int = 1024, n_tgt: int = 4096,
-                     icp_iters: int = 30):
+                     icp_iters: int = 30, icp_rounds: int = 2):
     """Build the jitted refine+score function for one object mesh
     (vertices in meters)."""
     verts_m = jnp.asarray(verts_m, jnp.float32)
@@ -172,8 +213,8 @@ def make_icp_refiner(verts_m, faces, im_h: int, im_w: int,
     def refine(R, t_mm, cam_k, union_mask, depth_m, tgt_pts, tgt_normals,
                key):
         return _refine_body(verts_m, faces, im_h, im_w, n_src, n_tgt,
-                            icp_iters, R, t_mm, cam_k, union_mask, depth_m,
-                            tgt_pts, tgt_normals, key)
+                            icp_iters, icp_rounds, R, t_mm, cam_k,
+                            union_mask, depth_m, tgt_pts, tgt_normals, key)
 
     return refine
 
@@ -206,7 +247,7 @@ def stack_meshes(meshes_m: Sequence[tuple], max_faces: int | None = None
 
 def make_batch_icp_refiner(stacked_verts_m, stacked_faces, im_h: int,
                            im_w: int, n_src: int = 1024, n_tgt: int = 4096,
-                           icp_iters: int = 30):
+                           icp_iters: int = 30, icp_rounds: int = 2):
     """Build a jitted refine+score over a BATCH of hypotheses with
     per-hypothesis object meshes (gathered from the stacked bank).
 
@@ -221,8 +262,8 @@ def make_batch_icp_refiner(stacked_verts_m, stacked_faces, im_h: int,
     def one(obj_idx, R, t_mm, cam_k, union_mask, depth_m, tgt_pts,
             tgt_normals, key):
         return _refine_body(sv[obj_idx], sf[obj_idx], im_h, im_w, n_src,
-                            n_tgt, icp_iters, R, t_mm, cam_k, union_mask,
-                            depth_m, tgt_pts, tgt_normals, key)
+                            n_tgt, icp_iters, icp_rounds, R, t_mm, cam_k,
+                            union_mask, depth_m, tgt_pts, tgt_normals, key)
 
     return jax.jit(jax.vmap(
         one, in_axes=(0, 0, 0, None, 0, None, None, None, 0)))
@@ -230,7 +271,8 @@ def make_batch_icp_refiner(stacked_verts_m, stacked_faces, im_h: int,
 
 def make_multiframe_icp_refiner(stacked_verts_m, stacked_faces, im_h: int,
                                 im_w: int, n_src: int = 1024,
-                                n_tgt: int = 4096, icp_iters: int = 30):
+                                n_tgt: int = 4096, icp_iters: int = 30,
+                                icp_rounds: int = 2):
     """Hypotheses spanning MULTIPLE sensor frames in one launch.
 
     The serving coalescer's ICP shape: per-hypothesis object index AND
@@ -249,9 +291,10 @@ def make_multiframe_icp_refiner(stacked_verts_m, stacked_faces, im_h: int,
     def one(obj_idx, frame_idx, R, t_mm, cam_k, union_mask, depths_m,
             tgt_pts, tgt_normals, key):
         return _refine_body(sv[obj_idx], sf[obj_idx], im_h, im_w, n_src,
-                            n_tgt, icp_iters, R, t_mm, cam_k, union_mask,
-                            depths_m[frame_idx], tgt_pts[frame_idx],
-                            tgt_normals[frame_idx], key)
+                            n_tgt, icp_iters, icp_rounds, R, t_mm, cam_k,
+                            union_mask, depths_m[frame_idx],
+                            tgt_pts[frame_idx], tgt_normals[frame_idx],
+                            key)
 
     return jax.jit(jax.vmap(
         one, in_axes=(0, 0, 0, 0, None, 0, None, None, None, 0)))

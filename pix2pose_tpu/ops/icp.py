@@ -8,10 +8,18 @@ cloud (points+normals) of the current pose hypothesis to the sensor cloud.
 TPU-first design: correspondences are a dense (n_src, n_tgt) distance
 matrix on the MXU (both clouds are subsampled to fixed sizes — the clouds
 here are a few thousand points, so the matrix is small); rejection keeps
-pairs within ``rejection_scale`` x mean distance; each iteration solves the
-6x6 point-to-plane normal equations. Coarse-to-fine is two fixed-size
-levels like the reference's numLevels=2. Fixed iteration counts, so the
-whole solver vmaps over pose hypotheses and jits once.
+pairs within ``rejection_scale x max(median, tolerance)`` of the
+correspondence-distance distribution each iteration — a ROBUST scale, the
+cv2 ``rejectionScale`` semantics ("reject pairs beyond scale x sigma" with
+sigma estimated robustly). A plain mean-based scale breaks down exactly in
+the regime the rejection exists for: 10-30% gross outliers inflate the
+mean so 2.5x-mean rejects nothing (measured round 3: 30% outliers diverged
+21 -> 80 mm; with median rejection the same case converges; see the
+in-loop comment for why median-proportional beat median+MAD and why the
+``tolerance`` floor is load-bearing). Each iteration
+solves the 6x6 point-to-plane normal equations. Coarse-to-fine is two
+fixed-size levels like the reference's numLevels=2. Fixed iteration
+counts, so the whole solver vmaps over pose hypotheses and jits once.
 """
 
 from __future__ import annotations
@@ -32,6 +40,16 @@ class ICPResult(NamedTuple):
     ok: jnp.ndarray        # () bool
 
 
+def _masked_quantile(x, mask, q):
+    """Quantile of x over mask (fixed-shape: sort with +inf padding)."""
+    big = jnp.asarray(3.4e38, x.dtype)
+    xs = jnp.sort(jnp.where(mask, x, big))
+    n = jnp.sum(mask)
+    idx = jnp.clip((jnp.maximum(n - 1, 0).astype(jnp.float32)
+                    * q).astype(jnp.int32), 0, x.shape[0] - 1)
+    return xs[idx]
+
+
 def _rodrigues(w):
     th = jnp.linalg.norm(w) + 1e-12
     k = w / th
@@ -39,8 +57,16 @@ def _rodrigues(w):
     return jnp.eye(3) + jnp.sin(th) * kx + (1 - jnp.cos(th)) * (kx @ kx)
 
 
+def _skew(v):
+    z = jnp.zeros(v.shape[:-1], v.dtype)
+    return jnp.stack([
+        jnp.stack([z, -v[..., 2], v[..., 1]], -1),
+        jnp.stack([v[..., 2], z, -v[..., 0]], -1),
+        jnp.stack([-v[..., 1], v[..., 0], z], -1)], -2)
+
+
 def _icp_level(R, t, src, tgt_p, tgt_n, src_valid, tgt_valid, iters,
-               rejection_scale):
+               rejection_scale, tolerance, pp_weight):
     big = 1e12
 
     def step(carry, _):
@@ -55,9 +81,25 @@ def _icp_level(R, t, src, tgt_p, tgt_n, src_valid, tgt_valid, iters,
         n = tgt_n[nn]
         dist = jnp.linalg.norm(sp - q, axis=1)
         w0 = src_valid & (jnp.min(d2, axis=1) < big / 2)
-        mean_d = jnp.sum(jnp.where(w0, dist, 0)) / jnp.maximum(
-            jnp.sum(w0), 1)
-        keep = w0 & (dist < rejection_scale * mean_d + 1e-12)
+        # Robust rejection (cv2 rejectionScale semantics): drop pairs
+        # beyond scale x the MEDIAN correspondence distance. A mean-based
+        # scale is itself corrupted by the outliers it should reject (30%
+        # gross outliers -> 2.5x-mean kept everything; measured divergence
+        # 21 -> 80 mm). A median+2.5*MAD band was tried and is TOO tight
+        # in low-noise regimes: at a biased pose it trims exactly the
+        # large-residual pairs that carry the correction signal and the
+        # solver stalls at a self-consistent trimmed fixed point
+        # (measured: 5-12 mm stalls on noiseless 10%-outlier cases).
+        # Median-proportional keeps the inlier bulk (threshold tracks the
+        # current error scale) while still cutting 0.3-1.2 m gross junk.
+        # The threshold is floored at rejection_scale x tolerance (cv2's
+        # tolerence=0.005 m): on a low-noise scene with a biased pose,
+        # flat-face interiors self-match at near-zero distance (sliding
+        # mode) so the median collapses — and an unfloored threshold then
+        # rejects the edge/silhouette pairs that carry ALL the correction
+        # signal (measured: 5-15 mm stalls on CLEAN partial-overlap cases).
+        med = _masked_quantile(dist, w0, 0.5)
+        keep = w0 & (dist < rejection_scale * jnp.maximum(med, tolerance))
         w = keep.astype(jnp.float32)
         n_keep = jnp.maximum(jnp.sum(w), 1.0)
 
@@ -75,6 +117,24 @@ def _icp_level(R, t, src, tgt_p, tgt_n, src_valid, tgt_valid, iters,
         J = jnp.concatenate([jw, n], axis=1)  # (S,6)
         JtJ = (J * w[:, None]).T @ J
         Jtr = (J * w[:, None]).T @ r
+        # Hybrid objective: a point-to-POINT term breaks the sliding
+        # null space of pure point-to-plane. With 1-2 flat faces visible
+        # (box-like objects seen face-on) in-plane translations leave the
+        # plane residual ~0 on face interiors and the solver stalls at a
+        # 4-8 mm offset (measured on CLEAN data from 10 deg/20 mm inits);
+        # the point term pulls sampled source points toward their nearest
+        # target samples, which has no such null space. Weighted low so
+        # the plane term still sets the converged precision (the point
+        # term's floor is the sampling offset between the two clouds).
+        if pp_weight > 0:
+            r_pp = sp - q                                  # (S,3)
+            j_pp = jnp.concatenate(
+                [-_skew(sp - c), jnp.broadcast_to(jnp.eye(3),
+                                                  (sp.shape[0], 3, 3))],
+                axis=2)                                    # (S,3,6)
+            jw_pp = j_pp * w[:, None, None] * pp_weight
+            JtJ = JtJ + jnp.einsum("sij,sik->jk", jw_pp, j_pp)
+            Jtr = Jtr + jnp.einsum("sij,si->j", jw_pp, r_pp)
         delta = smallmat.chol_solve(JtJ + 1e-6 * jnp.eye(6), -Jtr)
         delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
         # trust region: the linearization is only valid for small steps
@@ -100,6 +160,8 @@ def _icp_level(R, t, src, tgt_p, tgt_n, src_valid, tgt_valid, iters,
 def icp_point_to_plane(src_pts, tgt_pts, tgt_normals, src_valid=None,
                        tgt_valid=None, iters: int = 30,
                        rejection_scale: float = 2.5,
+                       tolerance: float = 0.005,
+                       pp_weight: float = 0.0,
                        levels: int = 2) -> ICPResult:
     """Register src points to the target cloud.
 
@@ -109,8 +171,12 @@ def icp_point_to_plane(src_pts, tgt_pts, tgt_normals, src_valid=None,
       tgt_normals: (T, 3) target normals.
       src_valid/tgt_valid: optional masks for padded points.
       iters: total Gauss-Newton iterations, split across levels.
-      rejection_scale: pairs beyond scale x mean distance are dropped
-        (cv2 ppf ICP semantics).
+      rejection_scale: pairs beyond scale x median distance are dropped
+        (cv2 ppf ICP rejectionScale semantics).
+      tolerance: floor (same unit as the points) on the robust scale the
+        rejection threshold multiplies (cv2 tolerence).
+      pp_weight: relative weight of the point-to-point term blended into
+        the point-to-plane normal equations (see _icp_level).
       levels: coarse-to-fine levels; level l uses every 2^(levels-1-l)-th
         source point.
 
@@ -144,7 +210,8 @@ def icp_point_to_plane(src_pts, tgt_pts, tgt_normals, src_valid=None,
             sub = slice(None, None, stride)
             R, t, res = _icp_level(R, t, src_pts[sub], tgt_pts,
                                    tgt_normals, src_valid[sub], tgt_valid,
-                                   per_level, rejection_scale)
+                                   per_level, rejection_scale, tolerance,
+                                   pp_weight)
     ok = (jnp.isfinite(res) & jnp.all(jnp.isfinite(R))
           & jnp.all(jnp.isfinite(t))
           & (jnp.sum(src_valid) >= 10) & (jnp.sum(tgt_valid) >= 10))

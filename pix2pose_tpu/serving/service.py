@@ -150,7 +150,8 @@ class PoseService:
             from pix2pose_tpu.ops import geometry
             import jax.numpy as jnp
 
-            depth_m = jnp.asarray(depth, jnp.float32)
+            depth_m = geometry.despeckle_depth(
+                jnp.asarray(depth, jnp.float32))
             tgt_pts = geometry.backproject(depth_m, self.cfg.cam_K)
             tgt_normals = geometry.normals_from_depth(depth_m,
                                                       self.cfg.cam_K)
@@ -332,12 +333,13 @@ class PoseService:
 
             @jax.jit
             def prep(depths):
+                depths = jax.vmap(geometry.despeckle_depth)(depths)
                 pts = jax.vmap(
                     lambda d: geometry.backproject(d, cam_k))(depths)
                 nrm = jax.vmap(
                     lambda d: geometry.normals_from_depth(d, cam_k)
                 )(depths)
-                return pts, nrm
+                return depths, pts, nrm
 
             self._sensor_prep = prep
 
@@ -383,8 +385,8 @@ class PoseService:
             dm_ok = depth_stack[bi] > 0.2
             masks[i] = (d.mask & dm_ok) if d.mask is not None else dm_ok
 
-        dj = jnp.asarray(depth_stack)
-        tgt_pts, tgt_normals = self._sensor_prep(dj)
+        dj, tgt_pts, tgt_normals = self._sensor_prep(
+            jnp.asarray(depth_stack))
         self._key, sub = jax.random.split(self._key)
         keys = jax.random.split(sub, p_pad)
         ref = jax.device_get(self._mf_refiner(

@@ -116,7 +116,9 @@ def run_case(verts_mm, faces, rot_deg: float, trans_mm: float,
             union[:, :cut] = False
     depth = depth * mask
 
-    dj = jnp.asarray(depth)
+    # same sensor precompute as the evaluators: despeckle before the
+    # cloud + normal lift (bop_eval_icp._process_image_*)
+    dj = geometry.despeckle_depth(jnp.asarray(depth))
     tgt_pts = geometry.backproject(dj, jnp.asarray(K))
     tgt_normals = geometry.normals_from_depth(dj, jnp.asarray(K))
 
