@@ -19,9 +19,9 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = [
-    "box_iou_matrix", "average_precision", "evaluate_detections",
-    "tune_score_threshold", "collect_synthetic_detections",
-    "COCO_IOU_THS",
+    "box_iou_matrix", "mask_iou_matrix", "average_precision",
+    "evaluate_detections", "tune_score_threshold",
+    "collect_synthetic_detections", "COCO_IOU_THS",
 ]
 
 # COCO primary-metric IoU sweep 0.50:0.05:0.95
@@ -44,25 +44,47 @@ def box_iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
 
 
-def _match_class(dets, gts, iou_th):
+def mask_iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise IoU of boolean instance masks ``a`` (N,H,W) vs ``b``
+    (M,H,W) — the quantity the reference's score_type-2 computes between
+    the projected pose mask and the Mask-RCNN mask
+    (``5_evaluation_bop_basic.py:307-316``); here also the matcher for
+    mask mAP."""
+    a = np.asarray(a, bool).reshape(a.shape[0], -1)
+    b = np.asarray(b, bool).reshape(b.shape[0], -1)
+    inter = (a[:, None, :] & b[None, :, :]).sum(-1).astype(np.float64)
+    union = (a[:, None, :] | b[None, :, :]).sum(-1).astype(np.float64)
+    return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
+
+
+def _match_class(dets, gts, iou_th, iou_type: str = "bbox"):
     """Greedy score-order matching for ONE class.
 
-    dets: list of (img_idx, score, box(4,)); gts: {img_idx: (M,4)}.
-    Returns (scores (D,), tp (D,) bool, n_gt)."""
-    n_gt = sum(len(g) for g in gts.values())
+    dets: list of (img_idx, score, box(4,)[, mask(H,W)]); gts:
+    {img_idx: (M,4)} for bbox matching or {img_idx: (boxes (M,4),
+    masks (M,H,W))} for mask matching. Returns (scores (D,), tp (D,)
+    bool, n_gt)."""
+    def _n(g):
+        return len(g[0] if iou_type == "mask" else g)
+
+    n_gt = sum(_n(g) for g in gts.values())
     if not dets:
         return np.zeros(0), np.zeros(0, bool), n_gt
     order = np.argsort([-d[1] for d in dets], kind="stable")
-    used = {img: np.zeros(len(g), bool) for img, g in gts.items()}
+    used = {img: np.zeros(_n(g), bool) for img, g in gts.items()}
     scores = np.zeros(len(dets))
     tp = np.zeros(len(dets), bool)
     for rank, di in enumerate(order):
-        img, score, box = dets[di]
+        img = dets[di][0]
+        score = dets[di][1]
         scores[rank] = score
         g = gts.get(img)
-        if g is None or len(g) == 0:
+        if g is None or _n(g) == 0:
             continue
-        ious = box_iou_matrix(box[None], g)[0]
+        if iou_type == "mask":
+            ious = mask_iou_matrix(dets[di][3][None], g[1])[0]
+        else:
+            ious = box_iou_matrix(dets[di][2][None], g)[0]
         ious[used[img]] = -1.0
         j = int(np.argmax(ious))
         if ious[j] >= iou_th:
@@ -92,13 +114,19 @@ def average_precision(tp_sorted: np.ndarray, n_gt: int) -> float:
 
 
 def evaluate_detections(preds, gts, iou_ths=(0.5, 0.75),
-                        coco_sweep: bool = True) -> dict:
+                        coco_sweep: bool = True,
+                        iou_type: str = "bbox") -> dict:
     """mAP over images.
 
     ``preds``: per-image dict {"bbox": (N,4), "score": (N,), "cls": (N,)}
     (list indexed by image). ``gts``: per-image dict {"bbox": (M,4),
-    "cls": (M,)}. Returns {"mAP50": ..., "mAP75": ..., "mAP": mean over
-    the COCO 0.5:0.95 sweep, "per_class": {cls: {th: AP}},
+    "cls": (M,)}. With ``iou_type="mask"`` both sides also carry a
+    "mask" key ((N,H,W) / (M,H,W) bool; any common grid — the harness
+    uses the detector's stride grid) and matching runs on mask IoU
+    instead of box IoU: instance-mask quality, the quantity the
+    reference delegates to Mask-RCNN and that score_type-2 / ICP
+    occupancy consume. Returns {"mAP50": ..., "mAP75": ..., "mAP": mean
+    over the COCO 0.5:0.95 sweep, "per_class": {cls: {th: AP}},
     "n_gt": {cls: count}}. Classes with zero GT are excluded from means.
     """
     classes = set()
@@ -111,28 +139,38 @@ def evaluate_detections(preds, gts, iou_ths=(0.5, 0.75),
     for img, g in enumerate(gts):
         gb = np.asarray(g["bbox"], np.float64).reshape(-1, 4)
         gc = np.asarray(g["cls"]).reshape(-1)
+        gm = (np.asarray(g["mask"], bool) if iou_type == "mask"
+              else None)
         for c in classes:
-            sel = gb[gc == c]
-            if len(sel):
-                by_class_gts[c][img] = sel
+            sel = gc == c
+            if sel.any():
+                by_class_gts[c][img] = ((gb[sel], gm[sel])
+                                        if iou_type == "mask"
+                                        else gb[sel])
     for img, p in enumerate(preds):
         pb = np.asarray(p["bbox"], np.float64).reshape(-1, 4)
         ps = np.asarray(p["score"], np.float64).reshape(-1)
         pc = np.asarray(p["cls"]).reshape(-1)
+        pm = (np.asarray(p["mask"], bool) if iou_type == "mask"
+              else None)
         for i in range(len(pb)):
             c = int(pc[i])
             if c in by_class_dets:
-                by_class_dets[c].append((img, float(ps[i]), pb[i]))
+                by_class_dets[c].append(
+                    (img, float(ps[i]), pb[i])
+                    + ((pm[i],) if iou_type == "mask" else ()))
 
     all_ths = sorted(set(iou_ths) | (set(COCO_IOU_THS) if coco_sweep
                                      else set()))
     per_class = {c: {} for c in classes}
     n_gt_per_class = {}
     for c in classes:
-        n_gt_per_class[c] = sum(len(g) for g in by_class_gts[c].values())
+        n_gt_per_class[c] = sum(
+            len(g[0] if iou_type == "mask" else g)
+            for g in by_class_gts[c].values())
         for th in all_ths:
             _, tp, n_gt = _match_class(by_class_dets[c], by_class_gts[c],
-                                       th)
+                                       th, iou_type)
             per_class[c][th] = average_precision(tp, n_gt)
 
     def _mean(ths):
@@ -199,7 +237,8 @@ def collect_synthetic_detections(model, variables, store, n_images: int,
                                  key, im_size: int = 512, k_obj: int = 8,
                                  batch_size: int = 4, top_k: int = 32,
                                  score_floor: float = 0.01,
-                                 decode_fn=None):
+                                 decode_fn=None,
+                                 with_masks: bool = False):
     """Run a detector over freshly-synthesized held-out scenes.
 
     One jitted program per batch: scene composition -> forward -> decode,
@@ -208,6 +247,9 @@ def collect_synthetic_detections(model, variables, store, n_images: int,
     maps the model output to ``(bbox (B,K,4), score (B,K), cls (B,K))``;
     default is the CenterNet decode — for the RetinaNet head pass one
     built on :func:`pix2pose_tpu.models.retinanet.decode_retinanet`.
+    With ``with_masks=True`` (CenterNet decode only) preds/gts also carry
+    per-instance "mask" arrays on the stride grid for
+    ``evaluate_detections(..., iou_type="mask")``.
     Returns (preds, gts) in :func:`evaluate_detections` format.
     """
     import jax
@@ -218,28 +260,41 @@ def collect_synthetic_detections(model, variables, store, n_images: int,
         from pix2pose_tpu.models.detector import decode_detections
 
         def decode_fn(out):
-            det = decode_detections(out, top_k=top_k)
-            return det.bbox, det.score, det.cls
+            det = decode_detections(out, top_k=top_k,
+                                    with_masks=with_masks)
+            return det.bbox, det.score, det.cls, det.mask
+    elif with_masks:
+        raise ValueError("with_masks requires the default CenterNet "
+                         "decode (CondInst mask head)")
 
     @jax.jit
     def run(store, k):
         batch = make_detector_batch(store, k, batch_size, im_size, k_obj)
         out = model.apply(variables, batch["image"])
-        bbox, score, cls = decode_fn(out)
-        return (bbox, score, cls, batch["gt_bbox"], batch["gt_cls"],
-                batch["gt_valid"])
+        decoded = decode_fn(out)
+        bbox, score, cls = decoded[:3]
+        mask = decoded[3] if with_masks else None
+        res = (bbox, score, cls, batch["gt_bbox"], batch["gt_cls"],
+               batch["gt_valid"])
+        if with_masks:
+            res += (mask, batch["gt_mask"] > 0.5)
+        return res
 
     preds, gts = [], []
     n_batches = (n_images + batch_size - 1) // batch_size
     for _ in range(n_batches):
         key, kb = jax.random.split(key)
-        bbox, score, cls, gt_bbox, gt_cls, gt_valid = jax.device_get(
-            run(store, kb))
+        got = jax.device_get(run(store, kb))
+        bbox, score, cls, gt_bbox, gt_cls, gt_valid = got[:6]
         for b in range(batch_size):
             keep = score[b] >= score_floor
-            preds.append({"bbox": bbox[b][keep],
-                          "score": score[b][keep],
-                          "cls": cls[b][keep]})
+            pred = {"bbox": bbox[b][keep], "score": score[b][keep],
+                    "cls": cls[b][keep]}
             v = gt_valid[b]
-            gts.append({"bbox": gt_bbox[b][v], "cls": gt_cls[b][v]})
+            gt = {"bbox": gt_bbox[b][v], "cls": gt_cls[b][v]}
+            if with_masks:
+                pred["mask"] = got[6][b][keep]
+                gt["mask"] = got[7][b][v]
+            preds.append(pred)
+            gts.append(gt)
     return preds[:n_images], gts[:n_images]
