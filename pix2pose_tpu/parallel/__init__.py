@@ -9,4 +9,5 @@ from pix2pose_tpu.parallel.mesh import (  # noqa: F401
     process_slice,
     replicate,
     shard_batch,
+    shard_inference_inputs,
 )
