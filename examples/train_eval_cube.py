@@ -120,6 +120,12 @@ def main():
         print(f"it{it} recon={float(m['recon_loss']):.4f}")
     print(f"{args.steps} steps in {time.time() - t0:.0f}s")
 
+    # Eval always runs fp32: params are fp32 and model-agnostic, so a
+    # fresh fp32 generator keeps --dtype a TRAINING-only knob (otherwise
+    # a bf16 run silently changes eval inference precision too and its AR
+    # isn't comparable to the fp32-eval baseline).
+    gen = AutoEncoder(backbone=args.backbone)
+
     ds_test = BopDataset(root + "_test", "cubes", train=False)
     ecfg = EvalConfig(dataset_dir=root + "_test", score_type=2,
                       task_type=2, cand_factor=1.0,

@@ -164,6 +164,12 @@ class TrainConfig:
     # pure fp32 (TF1 Keras default).
     compute_dtype: str = "float32"
 
+    def __post_init__(self):
+        if self.compute_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"compute_dtype must be 'float32' or 'bfloat16', got "
+                f"{self.compute_dtype!r}")
+
     def batches_per_epoch(self, n_data: int) -> int:
         return int(min(n_data / self.batch_size * 10, self.max_batches_per_epoch))
 
