@@ -70,3 +70,27 @@ def test_render_training_pairs_and_pipeline(train_ds, tmp_path):
     b = make_batch(store, jax.random.PRNGKey(0), 0, batch_size=4)
     assert b["src"].shape == (4, 128, 128, 3)
     assert float(np.asarray(b["prob_gt"]).mean()) > 0.02
+
+
+def test_ab_e2e_overrides_and_mini_run(tmp_path):
+    """Override parsing + a 1-seed micro A/B: identical configs must
+    report ~zero delta and pass; the JSON result carries per-seed rows."""
+    from pix2pose_tpu.tools.ab_e2e import parse_overrides, run_ab
+
+    train_o, est_o = parse_overrides(
+        ["select_stride=4", "prosac=false", "train.compute_dtype=bfloat16",
+         "train.batch_size=16", "outlier_th=0.1,0.2"])
+    assert est_o == {"select_stride": 4, "prosac": False,
+                     "outlier_th": (0.1, 0.2)}
+    assert train_o == {"compute_dtype": "bfloat16", "batch_size": 16}
+    import pytest
+
+    with pytest.raises(SystemExit):
+        parse_overrides(["not_a_field=1"])
+
+    out = run_ab(seeds=1, steps=2, a_pairs=[], b_pairs=["select_stride=4"],
+                 margin=1.0, root=str(tmp_path / "ab"))
+    assert out["rows"][0]["seed"] == 0
+    assert out["pass"] is True          # margin=1 always passes
+    assert out["retrained"] is False    # estimator-only knob: one train
+    assert -1.0 <= out["mean_delta"] <= 1.0
