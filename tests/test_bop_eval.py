@@ -76,3 +76,47 @@ def test_eval_skips_untargeted_objects(pipeline):
     tl = [(0, 0, [99], [1])]
     results = ev.run(target_list=tl)
     assert results == []
+
+
+def test_image_chunked_drive_matches_serial(pipeline):
+    """run(image_chunk=B) must reproduce the per-image drive exactly:
+    the chunked path replays the serial candidate-capping/key plan, so
+    poses, scores, ordering and the CSV (minus the wall-clock column)
+    all match."""
+    root, entries, ds, ev = pipeline
+    # fresh detectors with the same seed: identical jitter sequences
+    det_a = GtDetector(ds, jitter=6, seed=3)
+    det_b = GtDetector(ds, jitter=6, seed=3)
+    ev_a = BopEvaluator(ds, ev.cfg, ev.est, ev.params_by_obj,
+                        ev.obj_params, det_a, max_det=4)
+    ev_b = BopEvaluator(ds, ev.cfg, ev.est, ev.params_by_obj,
+                        ev.obj_params, det_b, max_det=4,
+                        method_name="pix2pose-tpu-chunked")
+    out_a = os.path.join(root, "out_serial")
+    out_b = os.path.join(root, "out_chunked")
+    res_a = ev_a.run(out_dir=out_a, key=jax.random.PRNGKey(5))
+    res_b = ev_b.run(out_dir=out_b, key=jax.random.PRNGKey(5),
+                     image_chunk=2)  # 3 images -> one padded chunk
+    assert len(res_a) == len(res_b) > 0
+    for a, b in zip(res_a, res_b):
+        assert (a["scene_id"], a["im_id"], a["obj_id"]) == \
+            (b["scene_id"], b["im_id"], b["obj_id"])
+        np.testing.assert_allclose(a["score"], b["score"], rtol=1e-5)
+        np.testing.assert_allclose(a["R"], b["R"], atol=1e-5)
+        np.testing.assert_allclose(a["t"], b["t"], atol=1e-2)  # mm
+
+    # CSVs identical apart from the time column
+    def rows_no_time(path):
+        with open(path) as f:
+            lines = f.read().strip().splitlines()
+        out = []
+        for ln in lines[1:]:
+            parts = ln.split(",")
+            del parts[-1]
+            out.append(",".join(parts))
+        return out
+
+    a_csv = rows_no_time(os.path.join(out_a, "pix2pose-tpu_cubes-test.csv"))
+    b_csv = rows_no_time(os.path.join(
+        out_b, "pix2pose-tpu-chunked_cubes-test.csv"))
+    assert a_csv == b_csv
