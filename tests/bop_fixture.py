@@ -38,6 +38,24 @@ def octahedron_mesh(half):
     return v, f
 
 
+def cylinder_mesh(radius=25.0, half_h=45.0, n_seg=48):
+    """Closed z-axis cylinder: continuously symmetric about z."""
+    ang = np.linspace(0.0, 2 * np.pi, n_seg, endpoint=False)
+    ring = np.stack([radius * np.cos(ang), radius * np.sin(ang)], axis=1)
+    top = np.concatenate([ring, np.full((n_seg, 1), half_h)], axis=1)
+    bot = np.concatenate([ring, np.full((n_seg, 1), -half_h)], axis=1)
+    v = np.concatenate([top, bot,
+                        [[0.0, 0.0, half_h]], [[0.0, 0.0, -half_h]]],
+                       axis=0).astype(np.float32)
+    ct, cb = 2 * n_seg, 2 * n_seg + 1
+    f = []
+    for i in range(n_seg):
+        j = (i + 1) % n_seg
+        f += [[i, j, n_seg + i], [j, n_seg + j, n_seg + i],  # wall
+              [ct, i, j], [cb, n_seg + j, n_seg + i]]        # caps
+    return v, np.asarray(f, np.int32)
+
+
 def _z180():
     """Discrete 180-deg rotation about z as a 4x4 (BOP models_info form)."""
     m = np.eye(4)
@@ -46,26 +64,35 @@ def _z180():
 
 
 def multishape_objects():
-    """Three analytic shapes incl. one discretely-symmetric object:
-    {obj_id: (verts, faces, scale(3,), sym_4x4_list)}."""
+    """Four analytic shapes incl. one DISCRETELY-symmetric (square prism,
+    z180) and one CONTINUOUSLY-symmetric (cylinder, z axis) object:
+    {obj_id: (verts, faces, scale(3,), sym_spec)} where sym_spec is None,
+    {"discrete": [4x4...]}, or {"continuous": axis}."""
     from test_rasterizer import cube_mesh as _cube
 
     cube_v, cube_f = _cube(40.0)
     prism_v, prism_f = box_mesh(22.0, 22.0, 55.0)
     octa_v, octa_f = octahedron_mesh(38.0)
+    cyl_v, cyl_f = cylinder_mesh(25.0, 45.0)
     return {
         1: (cube_v, cube_f, np.array([40.0, 40.0, 40.0], np.float32), None),
         # square prism: 180-deg z rotation maps the GEOMETRY onto itself
         2: (prism_v, prism_f, np.array([22.0, 22.0, 55.0], np.float32),
-            [_z180()]),
+            {"discrete": [_z180()]}),
         3: (octa_v, octa_f, np.array([38.0, 38.0, 38.0], np.float32), None),
+        # cylinder: ANY z rotation maps the geometry onto itself
+        # (reference handles these via get_sympose canonicalization,
+        # ``2_2_render_pix2pose_training.py:26-52``)
+        4: (cyl_v, cyl_f, np.array([25.0, 25.0, 45.0], np.float32),
+            {"continuous": [0, 0, 1]}),
     }
 
 
 # Disjoint color bands per object: a pixel's band identifies its object, so
 # the per-object BandOracleGenerator suppresses occluders/background the
 # way a per-object trained network does. Background is white (in no band).
-SHAPE_BANDS = {1: (0.0, 0.30), 2: (0.33, 0.63), 3: (0.66, 0.96)}
+SHAPE_BANDS = {1: (0.0, 0.22), 2: (0.25, 0.47), 3: (0.50, 0.72),
+               4: (0.75, 0.97)}
 
 
 def build_multishape_dataset(root, n_scenes=1, ims_per_scene=4,
@@ -94,7 +121,13 @@ def build_multishape_dataset(root, n_scenes=1, ims_per_scene=4,
                 "min_x": float(v[:, 0].min()), "min_y": float(v[:, 1].min()),
                 "min_z": float(v[:, 2].min()), "size_x": float(ext[0]),
                 "size_y": float(ext[1]), "size_z": float(ext[2])}
-        if sym is not None:
+        if isinstance(sym, dict):
+            if "discrete" in sym:
+                info["symmetries_discrete"] = sym["discrete"]
+            if "continuous" in sym:
+                info["symmetries_continuous"] = [
+                    {"axis": sym["continuous"], "offset": [0, 0, 0]}]
+        elif sym is not None:
             info["symmetries_discrete"] = sym
         minfo[str(obj_id)] = info
         norm[str(obj_id)] = {
@@ -113,10 +146,12 @@ def build_multishape_dataset(root, n_scenes=1, ims_per_scene=4,
     from PIL import Image
 
     # base placements: prism sits BEHIND the cube with overlapping
-    # silhouettes (occluded), octahedron clear on the left
+    # silhouettes (occluded), octahedron clear on the left, cylinder
+    # clear on the right
     base_t = {1: np.array([15.0, 5.0, 620.0]),
               2: np.array([65.0, -15.0, 730.0]),
-              3: np.array([-130.0, -40.0, 650.0])}
+              3: np.array([-130.0, -40.0, 650.0]),
+              4: np.array([150.0, 40.0, 660.0])}
     rng = np.random.RandomState(seed)
     entries, targets = [], []
     for s in range(n_scenes):

@@ -55,12 +55,17 @@ def test_scenes_are_occluded_and_symmetric_object_present(shapes_ds):
     assert "symmetries_discrete" in info
     pool = ds.symmetry_pool(2)
     assert pool.shape[0] >= 2  # identity + z180
+    # cylinder carries the CONTINUOUS symmetry; scoring densifies it
+    info4 = ds.model_info(4)
+    assert info4["symmetries_continuous"][0]["axis"] == [0, 0, 1]
+    sym_R, _ = ds.symmetry_transforms(4)
+    assert sym_R.shape[0] >= 36
     # at least one image has intersecting instance bboxes (occlusion setup)
     det = GtDetector(ds)
     overlapping = 0
     for s, i, _ in entries:
         dets = det.detect(s, i, ds.load_rgb(s, i))
-        assert len(dets) == 3  # every instance visible enough to detect
+        assert len(dets) == 4  # every instance visible enough to detect
         for a in range(len(dets)):
             for b in range(a + 1, len(dets)):
                 b1, b2 = dets[a].bbox, dets[b].bbox
@@ -79,7 +84,7 @@ def test_rgb_vivo_multiobject(shapes_ds):
     ev = BopEvaluator(ds, cfg, est, params_by_obj, obj_params,
                       GtDetector(ds, jitter=3), max_det=4)
     results = ev.run(out_dir=root)
-    assert {r["obj_id"] for r in results} == {1, 2, 3}
+    assert {r["obj_id"] for r in results} == {1, 2, 3, 4}
     scores = evaluate_bop(results, ds, metrics=("mssd", "mspd"))
     assert scores["AR_mssd"] > 0.85, scores
     assert scores["AR_mspd"] > 0.85, scores
@@ -97,9 +102,12 @@ def test_rgbd_icp_multiobject_batched(shapes_ds):
                          GtDetector(ds, jitter=3), max_det=4, batched=True)
     assert ev.batched
     results = ev.run(out_dir=root)
-    assert {r["obj_id"] for r in results} == {1, 2, 3}
+    assert {r["obj_id"] for r in results} == {1, 2, 3, 4}
     gt = {(s, i): per for s, i, per in entries}
-    pools = {o: np.asarray(ds.symmetry_pool(o)) for o in objs}
+    # densified pools: the cylinder's ICP pose may drift in azimuth
+    # (continuous symmetry = point-to-plane null space), which is
+    # geometrically meaningless — score rotation modulo the symmetry
+    pools = {o: np.asarray(ds.symmetry_transforms(o)[0]) for o in objs}
     for r in results:
         R_gt, t_gt = gt[(r["scene_id"], r["im_id"])][r["obj_id"]]
         assert rot_err_deg(r["R"], R_gt, pools[r["obj_id"]]) < 6.0, r
