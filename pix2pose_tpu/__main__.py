@@ -41,6 +41,11 @@ _COMMANDS = {
                        "(no reference equivalent: ICP oracle harness)"),
     "parity-lmo": ("pix2pose_tpu.tools.parity_lmo",
                    "README.md BOP'20 result tables"),
+    "rehearsal": ("pix2pose_tpu.tools.rehearsal",
+                  "full reference flow README.md:96-115 on synthetic "
+                  "BOP data"),
+    "ab-e2e": ("pix2pose_tpu.tools.ab_e2e",
+               "(no reference equivalent: paired-seed accuracy gate)"),
 }
 
 
