@@ -1,0 +1,268 @@
+"""Duplicate-instance e2e with FULLY TRAINED components — no GT anywhere
+at inference time.
+
+The reference's hardest detection regime: two instances of the SAME
+object occluding each other (T-Less / IC-BIN style), where semantic
+masks cannot disambiguate and the evaluators depend on per-instance
+masks — score_type-2 mask-IoU (``5_evaluation_bop_basic.py:307-316``),
+inst_count caps (``basic:297-299,325-349``) and the ICP evaluator's
+occupancy gating / mask unions (``5_evaluation_bop_icp3d.py:392-433``),
+all fed by Mask-RCNN's per-instance decode
+(``tools/mask_rcnn_util.py:67-133``).
+
+This script rehearses that whole chain with trained in-repo parts:
+
+  1. train the coordinate AE as a GAN on single-cube renders,
+  2. train CenterNet + CondInst per-instance masks on device-composed
+     scenes (single-class pool, k_obj=6 -> same-class duplicates are
+     the DOMINANT training case),
+  3. record instance-mask quality (box mAP AND mask mAP via
+     ``evaluate_detections(iou_type='mask')``) on held-out scenes,
+  4. run BOTH evaluators on the duplicate-instance test set with the
+     trained detector's predicted masks driving score_type-2 and ICP
+     occupancy/unions, and score AR + distinct-instance recovery.
+
+    python examples/duplicate_e2e.py --gan-steps 6000 --det-steps 1500
+
+Observed on TPU v5e (2026-08-19, defaults): box mAP50 0.996 / mAP75
+0.927, mask mAP50 0.996 / mAP75 0.968 / mask mAP 0.897; duplicate-scene
+RGB AR 0.558 (3/6 instances distinct — the heavily-occluded far cube's
+RGB-only pose is the residual failure), RGB-D+ICP AR 0.787 with 5/6
+recovered (median ICP t-err 0.9 mm; the evaluator's two-round recovery
+re-detects the occluded duplicate from depth). Longer detector training
+(3k steps) improves mask mAP to 0.935 but not the e2e numbers.
+"""
+
+import argparse
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+sys.path.insert(0, os.path.join(_ROOT, "tests"))
+
+import jax
+import jax.numpy as jnp
+
+
+def _match_to_gts(results, entries):
+    """Greedy score-ordered matching of results to GT poses by
+    translation distance. Returns list of (t_err, scene, im, gt_idx)."""
+    out = []
+    for s, i, poses in entries:
+        rows = [r for r in results
+                if r["scene_id"] == s and r["im_id"] == i]
+        rows.sort(key=lambda r: -r["score"])
+        taken = set()
+        for r in rows:
+            errs = [(np.linalg.norm(np.asarray(r["t"]) - t), gi)
+                    for gi, (_, t) in enumerate(poses) if gi not in taken]
+            if not errs:
+                continue
+            err, gi = min(errs)
+            taken.add(gi)
+            out.append((err, s, i, gi))
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gan-steps", type=int, default=6000)
+    ap.add_argument("--det-steps", type=int, default=1500)
+    ap.add_argument("--root", default=None)
+    ap.add_argument("--reuse", action="store_true",
+                    help="load weights cached under --root by a previous "
+                         "run instead of retraining (eval iteration)")
+    ap.add_argument("--score-th", type=float, default=0.25)
+    ap.add_argument("--diagnose", action="store_true",
+                    help="print per-test-image detections vs GT")
+    args = ap.parse_args()
+
+    try:
+        cpu = jax.devices("cpu")[0]
+        accel = [d for d in jax.devices() if d.platform != "cpu"][0]
+    except (RuntimeError, IndexError):
+        cpu = accel = jax.devices()[0]
+
+    from bop_fixture import build_cube_dataset, build_duplicate_cube_dataset
+    from test_rasterizer import cube_mesh
+    from pix2pose_tpu.config import EvalConfig, TrainConfig
+    from pix2pose_tpu.data import BopDataset
+    from pix2pose_tpu.eval import BopEvaluator
+    from pix2pose_tpu.eval.bop_eval_icp import BopEvaluatorICP
+    from pix2pose_tpu.eval.detection_metrics import (
+        collect_synthetic_detections, evaluate_detections)
+    from pix2pose_tpu.eval.metrics import evaluate_bop
+    from pix2pose_tpu.inference import Pix2PoseEstimator
+    from pix2pose_tpu.inference.jax_detector import JaxDetector
+    from pix2pose_tpu.models import AutoEncoder, Discriminator
+    from pix2pose_tpu.models.detector import CenterNetDetector
+    from pix2pose_tpu.tools.render_training_pairs import \
+        render_object_pairs
+    from pix2pose_tpu.training.data import PatchStore, make_batch
+    from pix2pose_tpu.training.detector_data import (DetectorStore,
+                                                     make_detector_batch)
+    from pix2pose_tpu.training.detector_train import (
+        create_detector_state, make_detector_step)
+    from pix2pose_tpu.training.gan import (create_train_state,
+                                           make_train_step)
+
+    root = args.root or tempfile.mkdtemp(prefix="dup_e2e_")
+    print(f"dataset root: {root}")
+    if not os.path.isdir(os.path.join(root, "cubes")):
+        build_cube_dataset(root, n_scenes=1, ims_per_scene=48,
+                           split="train")
+        ds_train = BopDataset(root, "cubes", train=True)
+        render_object_pairs(ds_train, 1)
+        os.makedirs(root + "/backs", exist_ok=True)
+        from PIL import Image
+
+        rng = np.random.RandomState(0)
+        for i in range(8):
+            Image.fromarray(rng.randint(0, 255, (120, 160, 3)).astype(
+                np.uint8)).save(f"{root}/backs/b{i}.png")
+    entries = build_duplicate_cube_dataset(root + "_test",
+                                           n_scenes=1, ims_per_scene=3)
+
+    store = PatchStore.load(os.path.join(root, "cubes", "train_xyz", "01"),
+                            os.path.join(root, "backs"))
+
+    import pickle
+
+    gen = AutoEncoder()
+    det_model = CenterNetDetector(num_classes=1)
+    dstore = DetectorStore.from_patch_stores({1: store}, store.backs)
+    dstore = jax.tree_util.tree_map(lambda x: jax.device_put(x, accel),
+                                    dstore)
+    cache = os.path.join(root, "weights.pkl")
+    if args.reuse and os.path.exists(cache):
+        with open(cache, "rb") as f:
+            gen_params, det_vars = pickle.load(f)
+        print(f"reusing weights from {cache}")
+    else:
+        # ---- 1. GAN-train the coordinate AE ----
+        cfg = TrainConfig(batch_size=32)
+        disc = Discriminator()
+        gstate = create_train_state(jax.random.PRNGKey(0), gen, disc, cfg)
+        raw_gstep = make_train_step(gen, disc, cfg)
+        sym = jnp.eye(3)[None]
+
+        @jax.jit
+        def gstep(state, store, it, lr, key):
+            kb, ks = jax.random.split(key)
+            batch = make_batch(store, kb, it, cfg.batch_size)
+            return raw_gstep(state, batch, sym, lr, ks)
+
+        key = jax.random.PRNGKey(1)
+        t0 = time.time()
+        for it in range(args.gan_steps):
+            key, ks = jax.random.split(key)
+            lr = 1e-3 if it < args.gan_steps // 2 else (
+                3e-4 if it < args.gan_steps * 4 // 5 else 1e-4)
+            gstate, m = gstep(gstate, store, it, lr, ks)
+            if (it + 1) % 200 == 0:
+                jax.block_until_ready(gstate.gen_params)  # cap relay queue
+        print(f"GAN: {args.gan_steps} steps in {time.time() - t0:.0f}s")
+        gen_params = jax.device_get(
+            {"params": gstate.gen_params, "batch_stats": gstate.gen_stats})
+
+        # ---- 2. detector train: single-class pool -> duplicate-heavy ----
+        with jax.default_device(cpu):
+            dstate = create_detector_state(jax.random.PRNGKey(2),
+                                           det_model, 384)
+        dstate = jax.device_put(dstate, accel)
+        raw_dstep = make_detector_step(det_model)
+
+        @jax.jit
+        def dstep(state, dstore, key, lr):
+            # scale range matched to the test scenes' apparent sizes
+            # (~40-50 px after the 640->384 resize); the default
+            # (0.6, 1.6) trains 77-205 px instances and MERGES adjacent
+            # 40-px duplicates into one size-prior-compatible detection
+            batch = make_detector_batch(dstore, key, 8, 384, k_obj=6,
+                                        scale_range=(0.25, 1.1))
+            return raw_dstep(state, batch, lr)
+
+        key = jax.device_put(jax.random.PRNGKey(3), accel)
+        t0 = time.time()
+        for it in range(args.det_steps):
+            key, kb = jax.random.split(key)
+            lr = 3e-4 * min(1.0, (it + 1) / 200)
+            if it > args.det_steps * 0.8:
+                lr = 1e-4
+            dstate, parts = dstep(dstate, dstore, kb, lr)
+            if (it + 1) % 100 == 0:
+                jax.block_until_ready(dstate.params)
+        print(f"detector: {args.det_steps} steps in "
+              f"{time.time() - t0:.0f}s")
+        det_vars = jax.device_get(
+            {"params": dstate.params, "batch_stats": dstate.stats})
+        with open(cache, "wb") as f:
+            pickle.dump((gen_params, det_vars), f)
+
+    # ---- 3. instance-mask quality on held-out composed scenes ----
+    preds, gts = collect_synthetic_detections(
+        det_model, det_vars, dstore, n_images=32,
+        key=jax.random.PRNGKey(11), im_size=384, k_obj=6, batch_size=4,
+        score_floor=0.05, with_masks=True, scale_range=(0.25, 1.1))
+    res_box = evaluate_detections(preds, gts)
+    res_mask = evaluate_detections(preds, gts, iou_type="mask")
+    print(f"box  mAP50={res_box['mAP50']:.3f} mAP75={res_box['mAP75']:.3f}"
+          f" mAP={res_box['mAP']:.3f}")
+    print(f"mask mAP50={res_mask['mAP50']:.3f} "
+          f"mAP75={res_mask['mAP75']:.3f} mAP={res_mask['mAP']:.3f}")
+
+    # ---- 4. both evaluators on duplicate scenes, predicted masks ----
+    ds_test = BopDataset(root + "_test", "twocubes", train=False)
+    jd = JaxDetector(det_model, det_vars, class_to_obj_id=[1],
+                     score_th=args.score_th, input_size=384)
+    if args.diagnose:
+        gtd = {(s, i): poses for s, i, poses in entries}
+        for s, i, poses in entries:
+            dets = jd.detect(s, i, ds_test.load_rgb(s, i))
+            print(f"scene {s} im {i}: GT t = "
+                  + "; ".join(f"[{t[0]:.0f},{t[1]:.0f},{t[2]:.0f}]"
+                              for _, t in poses))
+            for d in dets:
+                print(f"  det score={d.score:.3f} bbox={d.bbox.tolist()} "
+                      f"mask_px={int(d.mask.sum())}")
+    obj_param = np.array([40., 40., 40., 0, 0, 0], np.float32)
+    ecfg = EvalConfig(dataset_dir=root + "_test", score_type=2,
+                      task_type=2, cand_factor=1.0,
+                      outlier_th=(0.1, 0.2, 0.3), inlier_th=0.3)
+    est = Pix2PoseEstimator(gen, ecfg.estimator(0))
+
+    ev_rgb = BopEvaluator(ds_test, ecfg, est, {1: gen_params},
+                          {1: obj_param}, jd, max_det=4)
+    res_rgb = ev_rgb.run()
+    m = _match_to_gts(res_rgb, entries)
+    rec = sum(1 for e, *_ in m if e < 30.0)
+    print(f"RGB: {len(res_rgb)} results, {rec}/{2 * len(entries)} "
+          f"instances recovered distinctly (<30mm)")
+    sc = evaluate_bop(res_rgb, ds_test, metrics=("mssd", "mspd"))
+    print("RGB AR:", {k: round(v, 3) for k, v in sc.items()
+                      if k.startswith("AR")})
+
+    verts, faces = cube_mesh(40.0)
+    ev_icp = BopEvaluatorICP(ds_test, ecfg, est, {1: gen_params},
+                             {1: obj_param}, {1: (verts, faces)}, jd,
+                             max_det=4, batched=True)
+    res_icp = ev_icp.run()
+    m = _match_to_gts(res_icp, entries)
+    rec = sum(1 for e, *_ in m if e < 30.0)
+    t_errs = [e for e, *_ in m if e < 30.0]
+    print(f"RGB-D+ICP: {len(res_icp)} results, {rec}/{2 * len(entries)} "
+          f"recovered; median t-err "
+          f"{np.median(t_errs) if t_errs else float('nan'):.1f} mm")
+    sc = evaluate_bop(res_icp, ds_test)
+    print("RGB-D AR:", {k: round(v, 3) for k, v in sc.items()
+                        if k.startswith("AR")})
+
+
+if __name__ == "__main__":
+    main()

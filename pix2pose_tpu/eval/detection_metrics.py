@@ -238,7 +238,8 @@ def collect_synthetic_detections(model, variables, store, n_images: int,
                                  batch_size: int = 4, top_k: int = 32,
                                  score_floor: float = 0.01,
                                  decode_fn=None,
-                                 with_masks: bool = False):
+                                 with_masks: bool = False,
+                                 scale_range: tuple = (0.6, 1.6)):
     """Run a detector over freshly-synthesized held-out scenes.
 
     One jitted program per batch: scene composition -> forward -> decode,
@@ -269,7 +270,8 @@ def collect_synthetic_detections(model, variables, store, n_images: int,
 
     @jax.jit
     def run(store, k):
-        batch = make_detector_batch(store, k, batch_size, im_size, k_obj)
+        batch = make_detector_batch(store, k, batch_size, im_size, k_obj,
+                                    scale_range=scale_range)
         out = model.apply(variables, batch["image"])
         decoded = decode_fn(out)
         bbox, score, cls = decoded[:3]

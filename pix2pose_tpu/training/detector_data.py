@@ -91,7 +91,7 @@ def _gauss_radius(h, w, min_overlap=0.7):
 _WIN = 296
 
 
-def _place_one(key, rgb_u8, mask, extent, im_size):
+def _place_one(key, rgb_u8, mask, extent, im_size, scale_range):
     """Random affine placement of one patch into the image frame.
 
     Warp the 4-channel (rgb | mask) patch into a fixed _WIN-sized window
@@ -102,7 +102,8 @@ def _place_one(key, rgb_u8, mask, extent, im_size):
 
     Returns (rgb (S,S,3) float, mask (S,S) float)."""
     ks = jax.random.split(key, 4)
-    scale = jax.random.uniform(ks[0], minval=0.6, maxval=1.6)
+    scale = jax.random.uniform(ks[0], minval=scale_range[0],
+                               maxval=scale_range[1])
     angle = jax.random.uniform(ks[1], minval=-np.pi, maxval=np.pi)
     margin = extent * scale * 0.5 + 4.0
     cv = jax.random.uniform(ks[2], minval=margin,
@@ -137,17 +138,27 @@ def _splat_gaussian(heat, cls_idx, cv, cu, radius, valid, size):
 
 @functools.partial(jax.jit,
                    static_argnames=("batch_size", "im_size", "k_obj",
-                                    "stride"))
+                                    "stride", "scale_range"))
 def make_detector_batch(store: DetectorStore, key, batch_size: int = 8,
                         im_size: int = 512, k_obj: int = 8,
-                        stride: int = 4, min_visib: float = 0.3):
+                        stride: int = 4, min_visib: float = 0.3,
+                        scale_range: tuple = (0.6, 1.6)):
     """One detector training batch.
+
+    ``scale_range`` sets the random patch-placement scale (x the 128-px
+    patch): match it to the deployment's apparent object sizes — a
+    detector trained at (0.6, 1.6) (77-205 px instances) merges ADJACENT
+    duplicate instances that appear at ~40 px into one detection whose
+    size fits its prior (measured on the duplicate-cube e2e: one merged
+    box per image; retraining at (0.25, 1.1) splits most of them).
 
     Returns dict: ``image`` (B,S,S,3) in [0,1], targets ``heat``/``wh``/
     ``off``/``reg_mask``/``seg`` at stride resolution, plus ground-truth
     boxes for detection-quality eval: ``gt_bbox`` (B,K,4) visible-region
     [v1,u1,v2,u2] in image pixels, ``gt_cls`` (B,K), ``gt_valid`` (B,K)
     bool (False for sub-visibility instances and distractor patches)."""
+    # the fixed warp window must cover the largest rotated footprint
+    assert scale_range[1] * PATCH * 1.4143 + 2 <= _WIN, scale_range
     hs = im_size // stride
     c = store.num_classes
 
@@ -159,7 +170,8 @@ def make_detector_batch(store: DetectorStore, key, batch_size: int = 8,
         place_keys = jax.random.split(ks[2], k_obj)
         rgbs, masks = jax.vmap(
             lambda kk, i: _place_one(kk, store.rgb[i], store.mask[i],
-                                     store.extent[i], im_size)
+                                     store.extent[i], im_size,
+                                     scale_range)
         )(place_keys, pidx)  # (K,S,S,3), (K,S,S)
         labels = store.label[pidx]
 

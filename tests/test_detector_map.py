@@ -176,3 +176,24 @@ def test_tune_score_threshold_splits_tp_from_fp():
     tuned = tune_score_threshold(pred, gt)
     assert tuned["best_f1"] == 1.0
     assert 0.2 < tuned["best_th"] <= 0.9
+
+
+def test_scale_range_controls_instance_size():
+    """The composer's placement scale range is a deployment knob: the
+    duplicate-cube e2e showed a detector trained at (0.6,1.6) merges
+    ~40 px adjacent duplicates into one size-prior-compatible box."""
+    store = _toy_store(np.random.RandomState(2))
+    k = jax.random.PRNGKey(5)
+    small = make_detector_batch(store, k, batch_size=2, im_size=256,
+                                k_obj=3, scale_range=(0.25, 0.35))
+    big = make_detector_batch(store, k, batch_size=2, im_size=256,
+                              k_obj=3, scale_range=(1.2, 1.4))
+
+    def mean_area(b):
+        v = np.asarray(b["gt_valid"])
+        bb = np.asarray(b["gt_bbox"])[v]
+        return ((bb[:, 2] - bb[:, 0]) * (bb[:, 3] - bb[:, 1])).mean()
+
+    assert np.asarray(small["gt_valid"]).any()
+    assert np.asarray(big["gt_valid"]).any()
+    assert mean_area(big) > 4.0 * mean_area(small)
