@@ -66,6 +66,10 @@ def main():
                     help="retinanet FPN/subnet width")
     ap.add_argument("--seed", type=int, default=0,
                     help="train-seed offset (init + batch keys); the held-out eval set stays fixed")
+    ap.add_argument("--dtype", choices=["float32", "bfloat16"],
+                    default="float32",
+                    help="centernet compute dtype (params stay fp32); "
+                    "the mAP-neutrality gate for the bf16 train step")
     args = ap.parse_args()
     peak_lr = args.lr if args.lr is not None else (
         1e-4 if args.head == "retinanet" else 1e-3)
@@ -112,11 +116,16 @@ def main():
         def decode_fn(out):
             return decode_retinanet(out, anchors, top_k=32)
     else:
+        import jax.numpy as jnp
+
         from pix2pose_tpu.models.detector import CenterNetDetector
         from pix2pose_tpu.training.detector_train import (
             create_detector_state, make_detector_step)
 
-        model = CenterNetDetector(num_classes=5)
+        model = CenterNetDetector(num_classes=5,
+                                  dtype=jnp.bfloat16
+                                  if args.dtype == "bfloat16"
+                                  else jnp.float32)
         state = create_detector_state(
             jax.random.PRNGKey(args.seed), model, args.im_size)
         raw = make_detector_step(model)

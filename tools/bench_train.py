@@ -175,21 +175,14 @@ def bench_multi(k_obj: int, backbone: str = "paper", batch: int = 32):
     }
 
 
-def bench_detector(batch: int = 8, im_size: int = 384):
+def _synthetic_detector_store(rng, n=64):
     import jax
 
-    from pix2pose_tpu.models.detector import CenterNetDetector
-    from pix2pose_tpu.training.detector_data import (DetectorStore,
-                                                     make_detector_batch)
-    from pix2pose_tpu.training.detector_train import (create_detector_state,
-                                                      make_detector_step)
-    from pix2pose_tpu.utils.benchtime import bench_chained, bench_virgin
+    from pix2pose_tpu.training.detector_data import DetectorStore
 
-    rng = np.random.RandomState(0)
-    n = 64
     mask = np.zeros((n, 128, 128), bool)
     mask[:, 24:104, 24:104] = True
-    store = DetectorStore(
+    return DetectorStore(
         rgb=jax.device_put(rng.randint(0, 255, (n, 128, 128, 3)).astype(
             np.uint8)),
         mask=jax.device_put(mask),
@@ -198,27 +191,44 @@ def bench_detector(batch: int = 8, im_size: int = 384):
         backs=jax.device_put(rng.randint(0, 255, (16, 256, 256, 3)).astype(
             np.uint8)),
         num_classes=5)
-    model = CenterNetDetector(num_classes=5)
-    state = create_detector_state(jax.random.PRNGKey(0), model, im_size)
-    raw_step = make_detector_step(model)
 
+
+def bench_detector(batch: int = 8, im_size: int = 384,
+                   compute_dtype: str = "float32",
+                   data_only: bool = False):
+    import jax
     import jax.numpy as jnp
 
+    from pix2pose_tpu.models.detector import CenterNetDetector
+    from pix2pose_tpu.training.detector_data import make_detector_batch
+    from pix2pose_tpu.training.detector_train import (create_detector_state,
+                                                      make_detector_step)
+    from pix2pose_tpu.utils.benchtime import bench_chained, bench_virgin
+
+    rng = np.random.RandomState(0)
+    store = _synthetic_detector_store(rng)
+    dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    model = CenterNetDetector(num_classes=5, dtype=dtype)
+    state = create_detector_state(jax.random.PRNGKey(0), model, im_size)
+    raw_step = make_detector_step(model)
     lr = jnp.float32(2.5e-4)
 
     def step(state, store, lr, carry, salt):
         key = jax.random.fold_in(jax.random.PRNGKey(7),
                                  carry * 8191 + salt)
         batch_d = make_detector_batch(store, key, batch, im_size)
+        if data_only:  # attribution: composer + target splat alone
+            return _carry_out(carry, salt, _checksum(batch_d))
         new_state, parts = raw_step(state, batch_d, lr)
         return _carry_out(carry, salt,
                           _checksum(new_state) + _checksum(parts))
 
     rc = bench_virgin(step, (state, store, lr), 1)
     r = bench_chained(step, (state, store, lr), 1)
+    what = "scene synthesis ONLY" if data_only else "fused scene synthesis"
     return {
-        "metric": f"CenterNet detector train step ms (fused scene "
-                  f"synthesis, batch {batch} @ {im_size}^2, "
+        "metric": f"CenterNet detector train step ms ({what}, "
+                  f"batch {batch} @ {im_size}^2, {compute_dtype}, "
                   f"completion-verified)",
         "value": round(r["launch_ms"], 2), "unit": "ms/step",
         "steps_per_s": round(r["units_per_s"], 2),
@@ -243,6 +253,14 @@ def main():
         out = bench_gan("resnet50", 50)
     elif mode == "detector":
         out = bench_detector()
+    elif mode == "detector-data":
+        out = bench_detector(data_only=True)
+    elif mode.startswith("detector-"):
+        # detector-<batch>[-bf16], e.g. detector-32, detector-32-bf16
+        parts = mode.split("-")[1:]
+        out = bench_detector(
+            batch=int(parts[0]),
+            compute_dtype="bfloat16" if "bf16" in parts else "float32")
     elif mode.startswith("multi-"):
         out = bench_multi(int(mode.split("-", 1)[1]))
     else:
