@@ -70,6 +70,10 @@ def main():
                     default="float32",
                     help="centernet compute dtype (params stay fp32); "
                     "the mAP-neutrality gate for the bf16 train step")
+    ap.add_argument("--pool", type=int, default=0,
+                    help="centernet scene-pool size (0 = fresh compose "
+                    "every step); the mAP-neutrality gate for the "
+                    "pooled train step (make_pooled_detector_step)")
     args = ap.parse_args()
     peak_lr = args.lr if args.lr is not None else (
         1e-4 if args.head == "retinanet" else 1e-3)
@@ -130,10 +134,28 @@ def main():
             jax.random.PRNGKey(args.seed), model, args.im_size)
         raw = make_detector_step(model)
 
-    @jax.jit
-    def step_fn(state, store, key, lr):
-        b = make_detector_batch(store, key, args.batch, args.im_size, 6)
-        return raw(state, b, lr)
+    if args.pool and args.head == "centernet":
+        from pix2pose_tpu.training.detector_train import \
+            make_pooled_detector_step
+
+        init_pool, pooled = make_pooled_detector_step(
+            model, args.pool, args.batch, args.im_size, k_obj=6)
+        pool = init_pool(store, jax.random.PRNGKey(args.seed + 5))
+        it_box = [0]
+
+        def step_fn(state, store, key, lr):
+            nonlocal pool
+            import jax.numpy as jnp
+            state, pool, parts = pooled(state, store, pool,
+                                        jnp.int32(it_box[0]), key, lr)
+            it_box[0] += 1
+            return state, parts
+    else:
+        @jax.jit
+        def step_fn(state, store, key, lr):
+            b = make_detector_batch(store, key, args.batch,
+                                    args.im_size, 6)
+            return raw(state, b, lr)
 
     import math
 

@@ -91,16 +91,28 @@ def _hat(pos, n: int):
     return jnp.maximum(0.0, 1.0 - jnp.abs(pos[..., None] - k))
 
 
-def affine_sample_mm(img, mat, out_h: int, out_w: int, fill=0.0):
+def affine_sample_mm(img, mat, out_h: int, out_w: int, fill=0.0,
+                     compute_dtype=None):
     """``affine_sample`` semantics via two banded-matmul passes (no
     gathers; see module docstring). Requires ``out_h == out_w`` (the
     rotation pivot transposes the output under a traced predicate, so
     the two output axes must agree statically — true for every use in
-    this codebase)."""
+    this codebase).
+
+    ``compute_dtype=jnp.bfloat16`` halves the HBM traffic of the banded
+    weight tensors — the dominant cost of the warp on TPU (the (out, out,
+    src) pass-2 weights are ~45 MB fp32 PER placement; the detector
+    composer issues 64 of them per step). Accumulation stays fp32
+    (``preferred_element_type``), so only the hat weights and pixel
+    values round to bf16: max abs error vs the fp32 path is ~2/255 on
+    [0,1] images (tested) — below the uint8 quantization the patches
+    carry anyway. Leave ``None`` for bit-exact fp32 (the golden tests
+    against the gather path)."""
     if out_h != out_w:
         raise ValueError("affine_sample_mm requires a square output")
     src_h, src_w = img.shape[0], img.shape[1]
     mat = mat.astype(jnp.float32)
+    cdt = compute_dtype or jnp.float32
 
     # pivot: ensure |d| >= |c| by swapping the two OUTPUT axes (columns
     # of the 2x2 part); undone by a transpose of the result. Keeps the
@@ -122,14 +134,17 @@ def affine_sample_mm(img, mat, out_h: int, out_w: int, fill=0.0):
           + (e - b * f / d))                      # (out_h, src_w)
     w1 = _hat(rv, src_h)                          # (out_h, src_w, src_h)
     zero_fill = isinstance(fill, (int, float)) and fill == 0.0
-    tmp = jnp.einsum("iwh,hwc->iwc", w1, img.astype(jnp.float32))
+    tmp = jnp.einsum("iwh,hwc->iwc", w1.astype(cdt),
+                     img.astype(cdt),
+                     preferred_element_type=jnp.float32)
     if not zero_fill:
         tmp = tmp + fill * (1.0 - jnp.sum(w1, axis=-1))[..., None]
 
     # pass 2 (horizontal, per output row i): su = c i + d j + f
     su = c * i[:, None] + d * j[None, :] + f      # (out_h, out_w)
     w2 = _hat(su, src_w)                          # (out_h, out_w, src_w)
-    out = jnp.einsum("ijw,iwc->ijc", w2, tmp)
+    out = jnp.einsum("ijw,iwc->ijc", w2.astype(cdt), tmp.astype(cdt),
+                     preferred_element_type=jnp.float32)
     if not zero_fill:
         out = out + fill * (1.0 - jnp.sum(w2, axis=-1))[..., None]
 

@@ -91,14 +91,20 @@ def _gauss_radius(h, w, min_overlap=0.7):
 _WIN = 296
 
 
-def _place_one(key, rgb_u8, mask, extent, im_size, scale_range):
+def _place_one(key, rgb_u8, mask, extent, im_size, scale_range,
+               warp_dtype=None, force_padded=False):
     """Random affine placement of one patch into the image frame.
 
     Warp the 4-channel (rgb | mask) patch into a fixed _WIN-sized window
     with the banded-matmul sampler, then paste the window into the frame
-    with one dynamic_update_slice on a half-window-padded canvas — no
-    full-frame gathers (the former full-canvas gather path ran on the
-    TPU scalar unit at ~0.001% MFU and dominated the train step).
+    with one dynamic_update_slice — no full-frame gathers (the former
+    full-canvas gather path ran on the TPU scalar unit at ~0.001% MFU
+    and dominated the train step). When the frame is at least window-
+    sized the window origin is clamped into the frame and the affine's
+    target center shifted to compensate (identical sampling, window
+    coordinates differ), so the paste lands directly on an (S, S)
+    canvas; the half-window-padded canvas — 3x the HBM traffic at 384²
+    — is only needed for frames smaller than the window.
 
     Returns (rgb (S,S,3) float, mask (S,S) float)."""
     ks = jax.random.split(key, 4)
@@ -113,17 +119,27 @@ def _place_one(key, rgb_u8, mask, extent, im_size, scale_range):
     pad = _WIN // 2
     iv0 = jnp.floor(cv).astype(jnp.int32) - pad  # window origin (frame)
     iu0 = jnp.floor(cu).astype(jnp.int32) - pad
+    direct = im_size >= _WIN and not force_padded  # static
+    if direct:
+        iv0 = jnp.clip(iv0, 0, im_size - _WIN)
+        iu0 = jnp.clip(iu0, 0, im_size - _WIN)
     # out->src map: src px per out px = 1/scale; center in window coords
     mat = make_affine(jnp.array([(PATCH - 1) / 2.0, (PATCH - 1) / 2.0]),
                       jnp.array([cv - iv0, cu - iu0]), 1.0 / scale, angle)
     stacked = jnp.concatenate([rgb_u8.astype(jnp.float32) / 255.0,
                                mask.astype(jnp.float32)[..., None]],
                               axis=-1)
-    win = affine_sample_mm(stacked, mat, _WIN, _WIN, 0.0)
-    canvas = jnp.zeros((im_size + _WIN, im_size + _WIN, 4), jnp.float32)
-    canvas = jax.lax.dynamic_update_slice(canvas, win,
-                                          (iv0 + pad, iu0 + pad, 0))
-    out = canvas[pad:pad + im_size, pad:pad + im_size]
+    win = affine_sample_mm(stacked, mat, _WIN, _WIN, 0.0,
+                           compute_dtype=warp_dtype)
+    if direct:
+        canvas = jnp.zeros((im_size, im_size, 4), jnp.float32)
+        out = jax.lax.dynamic_update_slice(canvas, win, (iv0, iu0, 0))
+    else:
+        canvas = jnp.zeros((im_size + _WIN, im_size + _WIN, 4),
+                           jnp.float32)
+        canvas = jax.lax.dynamic_update_slice(canvas, win,
+                                              (iv0 + pad, iu0 + pad, 0))
+        out = canvas[pad:pad + im_size, pad:pad + im_size]
     return out[..., :3], (out[..., 3] > 0.5).astype(jnp.float32)
 
 
@@ -138,11 +154,13 @@ def _splat_gaussian(heat, cls_idx, cv, cu, radius, valid, size):
 
 @functools.partial(jax.jit,
                    static_argnames=("batch_size", "im_size", "k_obj",
-                                    "stride", "scale_range"))
+                                    "stride", "scale_range",
+                                    "warp_dtype"))
 def make_detector_batch(store: DetectorStore, key, batch_size: int = 8,
                         im_size: int = 512, k_obj: int = 8,
                         stride: int = 4, min_visib: float = 0.3,
-                        scale_range: tuple = (0.6, 1.6)):
+                        scale_range: tuple = (0.6, 1.6),
+                        warp_dtype: str | None = "bfloat16"):
     """One detector training batch.
 
     ``scale_range`` sets the random patch-placement scale (x the 128-px
@@ -156,9 +174,15 @@ def make_detector_batch(store: DetectorStore, key, batch_size: int = 8,
     ``off``/``reg_mask``/``seg`` at stride resolution, plus ground-truth
     boxes for detection-quality eval: ``gt_bbox`` (B,K,4) visible-region
     [v1,u1,v2,u2] in image pixels, ``gt_cls`` (B,K), ``gt_valid`` (B,K)
-    bool (False for sub-visibility instances and distractor patches)."""
+    bool (False for sub-visibility instances and distractor patches).
+
+    ``warp_dtype="bfloat16"`` (default) runs the placement warp's banded
+    contractions in bf16 with fp32 accumulation — the warp is HBM-bound
+    on its weight tensors, so this is ~2x its cost; pixel error ~2/255,
+    below the patches' uint8 quantization. ``None`` forces fp32."""
     # the fixed warp window must cover the largest rotated footprint
     assert scale_range[1] * PATCH * 1.4143 + 2 <= _WIN, scale_range
+    wdt = jnp.bfloat16 if warp_dtype == "bfloat16" else None
     hs = im_size // stride
     c = store.num_classes
 
@@ -171,7 +195,7 @@ def make_detector_batch(store: DetectorStore, key, batch_size: int = 8,
         rgbs, masks = jax.vmap(
             lambda kk, i: _place_one(kk, store.rgb[i], store.mask[i],
                                      store.extent[i], im_size,
-                                     scale_range)
+                                     scale_range, wdt)
         )(place_keys, pidx)  # (K,S,S,3), (K,S,S)
         labels = store.label[pidx]
 

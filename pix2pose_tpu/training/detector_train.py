@@ -64,11 +64,83 @@ def make_detector_step(model: CenterNetDetector):
     return step
 
 
+def make_pooled_detector_step(model: CenterNetDetector, pool_size: int,
+                              batch_size: int, im_size: int,
+                              fresh_per_step: int = 4, k_obj: int = 8,
+                              stride: int = 4,
+                              scale_range: tuple = (0.6, 1.6)):
+    """Scene-pool training: compose a few scenes per step into a device-
+    side ring buffer and train on a random contiguous window of it.
+
+    The reference composes its detector dataset OFFLINE (200k scenes,
+    ``1_1_scene_gen_for_detection_maskrcnn.py``) and trains Mask-RCNN
+    over it for many epochs — every scene is reused dozens of times.
+    The fused fresh-compose step re-synthesizes every scene it trains
+    on, which is MORE diversity than the reference but leaves the step
+    composer-bound (the composer is ~0.4% MFU by construction: warps
+    and splats, no big matmuls). The pool regime restores the
+    reference's amortization as one jitted program — no host round
+    trips, no second program to interleave (axon relay pathology):
+
+      refresh: pool[(it*F) % P : +F] <- F freshly composed scenes
+      train:   batch = pool[r : r+B] for random r  (contiguous slice --
+               a gather-free pick; window contents span pool ages)
+
+    Expected scene reuse = P/F trainings per scene (default 256/4 = 64
+    lifetime steps x B/P sampling = 8 expected trainings), far below
+    the reference's per-scene epoch count. Gate any default flip with an
+    equal-steps mAP A/B (``examples/detector_map5.py --pool``); measured
+    status in docs/PARITY.md.
+
+    Returns ``(init_pool, step_fn)``:
+      pool = init_pool(store, key)                       # once
+      state, pool, parts = step_fn(state, store, pool, it, key, lr)
+    ``step_fn`` donates state and pool (in-place ring update)."""
+    if pool_size % fresh_per_step or pool_size < batch_size:
+        raise ValueError("pool_size must be a multiple of fresh_per_step "
+                         "and >= batch_size")
+    raw_step = make_detector_step(model)
+
+    def compose(store, key, n):
+        return make_detector_batch(store, key, n, im_size, k_obj=k_obj,
+                                   stride=stride, scale_range=scale_range)
+
+    def init_pool(store, key):
+        chunks = []
+        for k in jax.random.split(key, pool_size // fresh_per_step):
+            chunks.append(compose(store, k, fresh_per_step))
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *chunks)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 2))
+    def step_fn(state, store, pool, it, key, lr):
+        kf, kb = jax.random.split(key)
+        fresh = compose(store, kf, fresh_per_step)
+        off = (it * fresh_per_step) % pool_size
+        pool = jax.tree_util.tree_map(
+            lambda p, f: jax.lax.dynamic_update_slice_in_dim(
+                p, f, off, axis=0), pool, fresh)
+        start = jax.random.randint(kb, (), 0,
+                                   pool_size - batch_size + 1)
+        batch = jax.tree_util.tree_map(
+            lambda p: jax.lax.dynamic_slice_in_dim(
+                p, start, batch_size, axis=0), pool)
+        new_state, parts = raw_step(state, batch, lr)
+        return new_state, pool, parts
+
+    return init_pool, step_fn
+
+
 def train_detector(store: DetectorStore, steps: int = 2000,
                    batch_size: int = 4, im_size: int = 512,
                    lr: float = 2.5e-4, ckpt_dir: str | None = None,
                    log_every: int = 20, seed: int = 0,
-                   save_every: int = 1000):
+                   save_every: int = 1000, pool_size: int | None = None,
+                   fresh_per_step: int = 4):
+    """``pool_size`` switches to the scene-pool regime (see
+    :func:`make_pooled_detector_step`): the composer amortizes over
+    ``pool_size / fresh_per_step`` steps instead of running fully every
+    step — the fresh-compose step is composer-bound at larger batches."""
     model = CenterNetDetector(num_classes=store.num_classes)
     state = create_detector_state(jax.random.PRNGKey(seed), model, im_size)
     if ckpt_dir:
@@ -78,13 +150,27 @@ def train_detector(store: DetectorStore, steps: int = 2000,
             print(f"resumed detector from checkpoint {ep}")
     raw_step = make_detector_step(model)
 
-    # scene synthesis fused into the step: ONE program dispatch per
-    # iteration (also sidesteps the axon multi-program interleave stall —
-    # see .claude/skills/verify/SKILL.md)
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def step_fn(state, store, key, cur_lr):
-        batch = make_detector_batch(store, key, batch_size, im_size)
-        return raw_step(state, batch, cur_lr)
+    pool = None
+    if pool_size:
+        init_pool, pooled_fn = make_pooled_detector_step(
+            model, pool_size, batch_size, im_size,
+            fresh_per_step=fresh_per_step)
+        pool = init_pool(store, jax.random.PRNGKey(seed + 2))
+
+        def step_fn(state, store, key, cur_lr, _it=[0]):
+            nonlocal pool
+            state, pool, parts = pooled_fn(state, store, pool,
+                                           jnp.int32(_it[0]), key, cur_lr)
+            _it[0] += 1
+            return state, parts
+    else:
+        # scene synthesis fused into the step: ONE program dispatch per
+        # iteration (also sidesteps the axon multi-program interleave
+        # stall — see .claude/skills/verify/SKILL.md)
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step_fn(state, store, key, cur_lr):
+            batch = make_detector_batch(store, key, batch_size, im_size)
+            return raw_step(state, batch, cur_lr)
 
     key = jax.random.PRNGKey(seed + 1)
     t0 = time.time()

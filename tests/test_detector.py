@@ -180,3 +180,92 @@ def test_instance_masks_distinct_per_peak():
     assert not (m0 & m1).any()  # disjoint
     assert m0[16, 16] and not m0[40, 44]
     assert m1[40, 44] and not m1[16, 16]
+
+
+def test_direct_paste_matches_padded_canvas():
+    """The clamped-origin direct paste (im_size >= _WIN) must reproduce
+    the padded-canvas path: the window origin shift is compensated in
+    the affine's target center, so frame-space sampling is identical
+    (up to float rounding at mask boundaries)."""
+    from pix2pose_tpu.training.detector_data import _WIN, _place_one
+
+    store = _toy_store(np.random.RandomState(3))
+    S = _WIN + 88  # 384
+    for i, seed in ((0, 0), (3, 7), (5, 11)):
+        k = jax.random.PRNGKey(seed)
+        args = (k, store.rgb[i], store.mask[i], store.extent[i], S,
+                (0.6, 1.6))
+        rgb_a, m_a = _place_one(*args)
+        rgb_b, m_b = _place_one(*args, force_padded=True)
+        np.testing.assert_allclose(np.asarray(rgb_a), np.asarray(rgb_b),
+                                   atol=1e-4)
+        # mask: a hairline threshold flip at the boundary is acceptable
+        assert (np.asarray(m_a) != np.asarray(m_b)).mean() < 1e-4
+
+
+def test_bf16_warp_close_to_fp32():
+    """warp_dtype='bfloat16' (the composer default) stays within the
+    patches' own uint8 quantization of the fp32 warp."""
+    store = _toy_store(np.random.RandomState(4))
+    k = jax.random.PRNGKey(2)
+    kw = dict(batch_size=2, im_size=256, k_obj=3)
+    b16 = make_detector_batch(store, k, warp_dtype="bfloat16", **kw)
+    b32 = make_detector_batch(store, k, warp_dtype=None, **kw)
+    img16, img32 = np.asarray(b16["image"]), np.asarray(b32["image"])
+    diff = np.abs(img16 - img32)
+    # interiors agree to the weight rounding; isolated mask-threshold
+    # flips on blob BOUNDARIES swap object/background for single pixels
+    # (full-range diff), so bound their fraction, not the max
+    assert np.mean(diff) < 3e-3, np.mean(diff)
+    assert np.mean(diff.max(-1) > 0.05) < 0.01  # <1% of pixels
+    # GT boxes derive from warped-mask extremes: same validity, <=2 px
+    v16, v32 = np.asarray(b16["gt_valid"]), np.asarray(b32["gt_valid"])
+    assert (v16 == v32).all()
+    both = v16 & v32
+    bb = np.abs(np.asarray(b16["gt_bbox"]) - np.asarray(b32["gt_bbox"]))
+    assert bb[both].max() <= 2.0
+
+
+def test_pooled_detector_step_trains():
+    """Scene-pool regime: ring refresh + contiguous-window batch, one
+    jitted program; loss decreases over a few steps."""
+    from pix2pose_tpu.models.detector import CenterNetDetector
+    from pix2pose_tpu.training.detector_train import (
+        create_detector_state, make_pooled_detector_step)
+
+    store = _toy_store(np.random.RandomState(5))
+    model = CenterNetDetector(num_classes=2, trunk="tiny", head_dim=32)
+    state = create_detector_state(jax.random.PRNGKey(0), model, 256)
+    init_pool, step = make_pooled_detector_step(
+        model, pool_size=8, batch_size=4, im_size=256,
+        fresh_per_step=2, k_obj=3)
+    pool = init_pool(store, jax.random.PRNGKey(1))
+    assert pool["image"].shape == (8, 256, 256, 3)
+    first_img = np.asarray(pool["image"][:2]).copy()
+
+    losses = []
+    key = jax.random.PRNGKey(2)
+    for it in range(6):
+        key, ks = jax.random.split(key)
+        state, pool, parts = step(state, store, pool, jnp.int32(it), ks,
+                                  jnp.float32(1e-3))
+        losses.append(float(parts["total"]))
+    # ring slot 0..1 was refreshed at it=0 (and it=4): contents changed
+    assert np.abs(np.asarray(pool["image"][:2]) - first_img).max() > 0.01
+    assert losses[-1] < losses[0]
+
+
+def test_pooled_step_rejects_bad_sizes():
+    import pytest
+
+    from pix2pose_tpu.models.detector import CenterNetDetector
+    from pix2pose_tpu.training.detector_train import \
+        make_pooled_detector_step
+
+    model = CenterNetDetector(num_classes=2, trunk="tiny")
+    with pytest.raises(ValueError):
+        make_pooled_detector_step(model, pool_size=7, batch_size=4,
+                                  im_size=256, fresh_per_step=2)
+    with pytest.raises(ValueError):
+        make_pooled_detector_step(model, pool_size=4, batch_size=8,
+                                  im_size=256, fresh_per_step=2)

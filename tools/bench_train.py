@@ -239,6 +239,74 @@ def bench_detector(batch: int = 8, im_size: int = 384,
     }
 
 
+def bench_detector_pooled(batch: int = 32, im_size: int = 384,
+                          compute_dtype: str = "bfloat16",
+                          pool_size: int = 256, fresh: int = 4):
+    """Scene-pool train step (make_pooled_detector_step). Timing is
+    completion-verified by construction: every launch consumes the
+    previous launch's donated state AND pool, so the chain cannot
+    overlap; the window read at the end forces the whole chain."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from pix2pose_tpu.models.detector import CenterNetDetector
+    from pix2pose_tpu.training.detector_train import (
+        create_detector_state, make_pooled_detector_step)
+    from pix2pose_tpu.utils.benchtime import V5E_BF16_PEAK_FLOPS
+
+    rng = np.random.RandomState(0)
+    store = _synthetic_detector_store(rng)
+    dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    model = CenterNetDetector(num_classes=5, dtype=dtype)
+    state = create_detector_state(jax.random.PRNGKey(0), model, im_size)
+    init_pool, step_fn = make_pooled_detector_step(
+        model, pool_size, batch, im_size, fresh_per_step=fresh)
+    pool = init_pool(store, jax.random.PRNGKey(3))
+    lr = jnp.float32(2.5e-4)
+
+    compiled = step_fn.lower(state, store, pool, jnp.int32(0),
+                             jax.random.PRNGKey(9), lr).compile()
+    cost = compiled.cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0]
+    flops = float(cost.get("flops", -1.0)) if cost else -1.0
+
+    it = 0
+
+    def run(k_steps):
+        nonlocal state, pool, it
+        key = jax.random.PRNGKey(100 + it)
+        for _ in range(k_steps):
+            key, ks = jax.random.split(key)
+            state, pool, parts = step_fn(state, store, pool,
+                                         jnp.int32(it), ks, lr)
+            it += 1
+        return float(np.asarray(parts["total"]))  # forces the chain
+
+    run(2)  # warmup (donation steady-state)
+    rates = []
+    for _w in range(4):
+        t0 = _time.perf_counter()
+        run(8)
+        rates.append(8 / (_time.perf_counter() - t0))
+    rates.sort()
+    med = rates[len(rates) // 2]
+    mfu = med * flops / V5E_BF16_PEAK_FLOPS * 100.0 if flops > 0 else None
+    if mfu is not None and mfu > 100.0:
+        raise SystemExit("REFUSING impossible result (> chip peak)")
+    return {
+        "metric": f"CenterNet detector train step ms (scene pool "
+                  f"{pool_size}/fresh {fresh}, batch {batch} @ "
+                  f"{im_size}^2, {compute_dtype}, completion-verified)",
+        "value": round(1e3 / med, 2), "unit": "ms/step",
+        "steps_per_s": round(med, 2),
+        "implied_mfu_pct": round(mfu, 2) if mfu is not None else None,
+        "flops_per_step": flops,
+    }
+
+
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "gan"
     if mode == "gan":
@@ -256,11 +324,14 @@ def main():
     elif mode == "detector-data":
         out = bench_detector(data_only=True)
     elif mode.startswith("detector-"):
-        # detector-<batch>[-bf16], e.g. detector-32, detector-32-bf16
+        # detector-<batch>[-bf16][-pool], e.g. detector-32-bf16-pool
         parts = mode.split("-")[1:]
-        out = bench_detector(
-            batch=int(parts[0]),
-            compute_dtype="bfloat16" if "bf16" in parts else "float32")
+        cd = "bfloat16" if "bf16" in parts else "float32"
+        if "pool" in parts:
+            out = bench_detector_pooled(batch=int(parts[0]),
+                                        compute_dtype=cd)
+        else:
+            out = bench_detector(batch=int(parts[0]), compute_dtype=cd)
     elif mode.startswith("multi-"):
         out = bench_multi(int(mode.split("-", 1)[1]))
     else:
