@@ -74,6 +74,12 @@ def main():
                     help="centernet scene-pool size (0 = fresh compose "
                     "every step); the mAP-neutrality gate for the "
                     "pooled train step (make_pooled_detector_step)")
+    ap.add_argument("--shared-head", type=int, default=0,
+                    help="centernet shared head hidden width (0 = "
+                    "per-head hiddens); mAP gate for shared_head_dim")
+    ap.add_argument("--old-model", action="store_true",
+                    help="disable the round-4 exact rewrites "
+                    "(fused_heads, stem_s2d) for A/B attribution")
     args = ap.parse_args()
     peak_lr = args.lr if args.lr is not None else (
         1e-4 if args.head == "retinanet" else 1e-3)
@@ -129,7 +135,10 @@ def main():
         model = CenterNetDetector(num_classes=5,
                                   dtype=jnp.bfloat16
                                   if args.dtype == "bfloat16"
-                                  else jnp.float32)
+                                  else jnp.float32,
+                                  shared_head_dim=args.shared_head,
+                                  fused_heads=not args.old_model,
+                                  stem_s2d=not args.old_model)
         state = create_detector_state(
             jax.random.PRNGKey(args.seed), model, args.im_size)
         raw = make_detector_step(model)

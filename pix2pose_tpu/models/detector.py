@@ -80,15 +80,50 @@ class TinyTrunk(nn.Module):
 
 
 class CenterNetDetector(nn.Module):
+    """``fused_heads`` computes the six heads' 3x3 hidden convs as ONE
+    (head_dim -> 6*head_dim) conv — mathematically identical to six
+    separate convs (concatenated output channels, elementwise ReLU,
+    per-head 1x1 outputs on channel slices) but a single large MXU
+    contraction instead of six 128-wide ones re-reading the same input;
+    the heads are ~55%% of the model's FLOPs at 384^2. ``stem_s2d``
+    runs the trunk's input conv on space-to-depth input (see
+    :class:`~pix2pose_tpu.models.resnet50.ResNet50Trunk`). Both are
+    exact-equivalence rewrites (tested), on by default; set False to
+    load pre-round-4 checkpoints. Measured step-time-NEUTRAL at batch
+    32 @ 384^2 bf16 (68.19 vs 68.26 ms pooled step) — the train step is
+    HBM-traffic-bound, so removing ~1e12 flops buys no wall-clock; kept
+    because they're free and leave the MXU headroom for anything that
+    does become flops-bound (docs/PARITY.md "Detector train step")."""
+
     num_classes: int
     dtype: Any = jnp.float32
     head_dim: int = 128
     trunk: str = "resnet50"  # or "tiny"
+    fused_heads: bool = True
+    stem_s2d: bool = True
+    # >0: ONE shared 3x3 hidden of this width feeds every head's 1x1
+    # (not an exact rewrite — heads share features; a 3x cheaper head
+    # stage at 256 than six private 128s). Measured NOT worth the mAP
+    # risk: deleting 1e12 of head FLOPs saved only 4 ms — the step is
+    # HBM-bound, not flops-bound (docs/PARITY.md "Detector train
+    # steps").
+    shared_head_dim: int = 0
+    # rematerialize trunk bottlenecks in backward (gradients identical).
+    # Measured NEGATIVE at batch 32 @ 384^2 bf16: 75.2 vs 68.3 ms — the
+    # recompute's extra activation reads exceed the backward-pass
+    # traffic it saves at these shapes. Kept as a knob for
+    # memory-limited configs (bigger batch / higher res), not speed.
+    trunk_remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        trunk_cls = TinyTrunk if self.trunk == "tiny" else ResNet50Trunk
-        f1, f2, f3 = trunk_cls(dtype=self.dtype, name="trunk")(x, train)
+        if self.trunk == "tiny":
+            f1, f2, f3 = TinyTrunk(dtype=self.dtype, name="trunk")(x, train)
+        else:
+            f1, f2, f3 = ResNet50Trunk(dtype=self.dtype,
+                                       stem_s2d=self.stem_s2d,
+                                       remat=self.trunk_remat,
+                                       name="trunk")(x, train)
         # FPN-lite: stride8 -> stride4 fusion
         p3 = nn.Conv(self.head_dim, (1, 1), dtype=self.dtype,
                      name="lat3")(f3)
@@ -104,13 +139,41 @@ class CenterNetDetector(nn.Module):
                          epsilon=1e-3, dtype=self.dtype, name="fuse_bn")(p)
         p = nn.relu(p)
 
-        def head(name, ch, bias_init=0.0):
-            y = nn.Conv(self.head_dim, (3, 3), padding="SAME",
-                        dtype=self.dtype, name=f"{name}_conv")(p)
-            y = nn.relu(y)
-            y = nn.Conv(ch, (1, 1), dtype=self.dtype, name=f"{name}_out",
-                        bias_init=nn.initializers.constant(bias_init))(y)
-            return y.astype(jnp.float32)
+        if self.shared_head_dim:
+            hidden = nn.relu(nn.Conv(
+                self.shared_head_dim, (3, 3), padding="SAME",
+                dtype=self.dtype, name="heads_conv")(p))
+
+            def head(name, ch, bias_init=0.0):
+                y = nn.Conv(ch, (1, 1), dtype=self.dtype,
+                            name=f"{name}_out",
+                            bias_init=nn.initializers.constant(
+                                bias_init))(hidden)
+                return y.astype(jnp.float32)
+        elif self.fused_heads:
+            hidden = nn.relu(nn.Conv(
+                self.head_dim * 6, (3, 3), padding="SAME",
+                dtype=self.dtype, name="heads_conv")(p))
+            slot = iter(range(6))
+
+            def head(name, ch, bias_init=0.0):
+                i = next(slot)
+                y = hidden[..., i * self.head_dim:(i + 1) * self.head_dim]
+                y = nn.Conv(ch, (1, 1), dtype=self.dtype,
+                            name=f"{name}_out",
+                            bias_init=nn.initializers.constant(
+                                bias_init))(y)
+                return y.astype(jnp.float32)
+        else:
+            def head(name, ch, bias_init=0.0):
+                y = nn.Conv(self.head_dim, (3, 3), padding="SAME",
+                            dtype=self.dtype, name=f"{name}_conv")(p)
+                y = nn.relu(y)
+                y = nn.Conv(ch, (1, 1), dtype=self.dtype,
+                            name=f"{name}_out",
+                            bias_init=nn.initializers.constant(
+                                bias_init))(y)
+                return y.astype(jnp.float32)
 
         return DetectorOut(
             heat=head("heat", self.num_classes, bias_init=-2.19),  # p~0.1

@@ -300,3 +300,34 @@ def make_detector_batch(store: DetectorStore, key, batch_size: int = 8,
             "reg_mask": reg, "seg": seg, "gt_bbox": gt_bbox,
             "gt_cls": gt_cls, "gt_valid": gt_valid, "gt_mask": gt_mask,
             "gt_center": gt_center}
+
+
+_PACK_BF16 = ("heat", "wh", "off", "seg", "gt_mask")
+
+
+def pack_detector_batch(batch: dict) -> dict:
+    """Compact-dtype encoding for the scene pool
+    (:func:`~pix2pose_tpu.training.detector_train.make_pooled_detector_step`):
+    image -> uint8, dense targets -> bf16, reg_mask -> bool. ~3.6x less
+    pool HBM for the ring update + batch slice each step. Quantization:
+    image +-0.5/255 (the composite's sources are uint8 patches, so this
+    is below their own quantization); bf16 targets <0.4%% rel error.
+    Gated mAP-neutral at equal steps (docs/PARITY.md "Detector train
+    steps")."""
+    out = dict(batch)
+    out["image"] = jnp.round(
+        jnp.clip(batch["image"], 0.0, 1.0) * 255.0).astype(jnp.uint8)
+    for k in _PACK_BF16:
+        out[k] = batch[k].astype(jnp.bfloat16)
+    out["reg_mask"] = batch["reg_mask"] > 0.5
+    return out
+
+
+def unpack_detector_batch(packed: dict) -> dict:
+    """Inverse of :func:`pack_detector_batch` (back to training dtypes)."""
+    out = dict(packed)
+    out["image"] = packed["image"].astype(jnp.float32) / 255.0
+    for k in _PACK_BF16:
+        out[k] = packed[k].astype(jnp.float32)
+    out["reg_mask"] = packed["reg_mask"].astype(jnp.float32)
+    return out

@@ -21,7 +21,9 @@ import optax
 
 from pix2pose_tpu.models.detector import CenterNetDetector, detector_loss
 from pix2pose_tpu.training.detector_data import (DetectorStore,
-                                                 make_detector_batch)
+                                                 make_detector_batch,
+                                                 pack_detector_batch,
+                                                 unpack_detector_batch)
 from pix2pose_tpu.utils import checkpoint as ckpt
 
 
@@ -68,7 +70,8 @@ def make_pooled_detector_step(model: CenterNetDetector, pool_size: int,
                               batch_size: int, im_size: int,
                               fresh_per_step: int = 4, k_obj: int = 8,
                               stride: int = 4,
-                              scale_range: tuple = (0.6, 1.6)):
+                              scale_range: tuple = (0.6, 1.6),
+                              refresh_every: int = 4):
     """Scene-pool training: compose a few scenes per step into a device-
     side ring buffer and train on a random contiguous window of it.
 
@@ -92,39 +95,56 @@ def make_pooled_detector_step(model: CenterNetDetector, pool_size: int,
     equal-steps mAP A/B (``examples/detector_map5.py --pool``); measured
     status in docs/PARITY.md.
 
+    Two cost levers beyond the ring buffer itself (both gated
+    mAP-neutral at equal steps, docs/PARITY.md "Detector train steps"):
+    the pool holds scenes in the compact encoding of
+    :func:`~pix2pose_tpu.training.detector_data.pack_detector_batch`
+    (uint8 images / bf16 targets — 3.6x less HBM on the update+slice),
+    and ``refresh_every`` amortizes the composer's per-launch fixed
+    costs by composing ``fresh_per_step * refresh_every`` scenes on
+    every ``refresh_every``-th step under a ``lax.cond`` (same expected
+    refresh rate and scene reuse; one jitted program either way).
+
     Returns ``(init_pool, step_fn)``:
       pool = init_pool(store, key)                       # once
       state, pool, parts = step_fn(state, store, pool, it, key, lr)
     ``step_fn`` donates state and pool (in-place ring update)."""
-    if pool_size % fresh_per_step or pool_size < batch_size:
-        raise ValueError("pool_size must be a multiple of fresh_per_step "
-                         "and >= batch_size")
+    chunk = fresh_per_step * refresh_every
+    if pool_size % chunk or pool_size < batch_size:
+        raise ValueError("pool_size must be a multiple of fresh_per_step"
+                         " * refresh_every and >= batch_size")
     raw_step = make_detector_step(model)
 
     def compose(store, key, n):
-        return make_detector_batch(store, key, n, im_size, k_obj=k_obj,
-                                   stride=stride, scale_range=scale_range)
+        return pack_detector_batch(make_detector_batch(
+            store, key, n, im_size, k_obj=k_obj, stride=stride,
+            scale_range=scale_range))
 
     def init_pool(store, key):
         chunks = []
-        for k in jax.random.split(key, pool_size // fresh_per_step):
-            chunks.append(compose(store, k, fresh_per_step))
+        for k in jax.random.split(key, pool_size // chunk):
+            chunks.append(compose(store, k, chunk))
         return jax.tree_util.tree_map(
             lambda *xs: jnp.concatenate(xs, axis=0), *chunks)
 
     @functools.partial(jax.jit, donate_argnums=(0, 2))
     def step_fn(state, store, pool, it, key, lr):
         kf, kb = jax.random.split(key)
-        fresh = compose(store, kf, fresh_per_step)
-        off = (it * fresh_per_step) % pool_size
-        pool = jax.tree_util.tree_map(
-            lambda p, f: jax.lax.dynamic_update_slice_in_dim(
-                p, f, off, axis=0), pool, fresh)
+
+        def refresh(pool):
+            fresh = compose(store, kf, chunk)
+            off = ((it // refresh_every) * chunk) % pool_size
+            return jax.tree_util.tree_map(
+                lambda p, f: jax.lax.dynamic_update_slice_in_dim(
+                    p, f, off, axis=0), pool, fresh)
+
+        pool = jax.lax.cond(it % refresh_every == 0, refresh,
+                            lambda p: p, pool)
         start = jax.random.randint(kb, (), 0,
                                    pool_size - batch_size + 1)
-        batch = jax.tree_util.tree_map(
+        batch = unpack_detector_batch(jax.tree_util.tree_map(
             lambda p: jax.lax.dynamic_slice_in_dim(
-                p, start, batch_size, axis=0), pool)
+                p, start, batch_size, axis=0), pool))
         new_state, parts = raw_step(state, batch, lr)
         return new_state, pool, parts
 

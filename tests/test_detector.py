@@ -269,3 +269,50 @@ def test_pooled_step_rejects_bad_sizes():
     with pytest.raises(ValueError):
         make_pooled_detector_step(model, pool_size=4, batch_size=8,
                                   im_size=256, fresh_per_step=2)
+
+
+def test_fused_heads_exact_vs_unfused():
+    """fused_heads is a pure rewrite: stitching the six per-head 3x3
+    kernels into the fused heads_conv reproduces the unfused model's
+    outputs exactly (same math, one big contraction)."""
+    key = jax.random.PRNGKey(3)
+    x = jax.random.uniform(key, (2, 64, 64, 3))
+    base = CenterNetDetector(num_classes=3, trunk="tiny", head_dim=16,
+                             fused_heads=False)
+    v = base.init(jax.random.PRNGKey(0), x)
+    names = ["heat", "wh", "off", "seg", "ctrl", "mfeat"]  # call order
+    p = dict(v["params"])
+    fused_kernel = jnp.concatenate(
+        [p[f"{n}_conv"]["kernel"] for n in names], axis=-1)
+    fused_bias = jnp.concatenate(
+        [p[f"{n}_conv"]["bias"] for n in names], axis=-1)
+    for n in names:
+        del p[f"{n}_conv"]
+    p["heads_conv"] = {"kernel": fused_kernel, "bias": fused_bias}
+    fused = CenterNetDetector(num_classes=3, trunk="tiny", head_dim=16,
+                              fused_heads=True)
+    out_a = base.apply(v, x)
+    out_b = fused.apply({"params": p, "batch_stats": v["batch_stats"]}, x)
+    for a, b in zip(out_a, out_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-5)
+
+
+def test_s2d_stem_exact():
+    """The space-to-depth stem is bit-level equivalent to the classic
+    7x7/2 stem under the s2d_stem_kernel remap."""
+    from pix2pose_tpu.models.resnet50 import ResNet50Trunk, s2d_stem_kernel
+
+    x = jax.random.uniform(jax.random.PRNGKey(2), (2, 32, 32, 3))
+    classic = ResNet50Trunk(stage_blocks=(1, 1), stem_s2d=False)
+    v = classic.init(jax.random.PRNGKey(0), x)
+    s2d = ResNet50Trunk(stage_blocks=(1, 1), stem_s2d=True)
+    k7 = v["params"]["stem_conv"]["kernel"]
+    p2 = jax.tree_util.tree_map(lambda a: a, v["params"])
+    p2["stem_conv"] = {"kernel": jnp.asarray(s2d_stem_kernel(np.asarray(k7))),
+                       "bias": v["params"]["stem_conv"]["bias"]}
+    fa = classic.apply(v, x)
+    fb = s2d.apply({"params": p2, "batch_stats": v["batch_stats"]}, x)
+    for a, b in zip(fa, fb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=2e-5)

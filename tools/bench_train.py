@@ -241,11 +241,22 @@ def bench_detector(batch: int = 8, im_size: int = 384,
 
 def bench_detector_pooled(batch: int = 32, im_size: int = 384,
                           compute_dtype: str = "bfloat16",
-                          pool_size: int = 256, fresh: int = 4):
+                          pool_size: int = 256, fresh: int = 4,
+                          refresh_every: int = 4, shared_head: int = 0,
+                          old_model: bool = False,
+                          trunk_remat: bool = False):
     """Scene-pool train step (make_pooled_detector_step). Timing is
     completion-verified by construction: every launch consumes the
     previous launch's donated state AND pool, so the chain cannot
-    overlap; the window read at the end forces the whole chain."""
+    overlap; the window read at the end forces the whole chain.
+
+    The timed window (8 steps) is a multiple of refresh_every, so the
+    reported ms/step averages refresh and non-refresh steps at their
+    true ratio. XLA's cost analysis counts BOTH lax.cond branches (the
+    composer chunk would be billed every step though it runs every
+    refresh_every-th), so the composer chunk is cost-analyzed on its
+    own and amortized: flops_per_step = (cond_program - chunk_compose)
+    + chunk_compose / refresh_every."""
     import time as _time
 
     import jax
@@ -259,19 +270,43 @@ def bench_detector_pooled(batch: int = 32, im_size: int = 384,
     rng = np.random.RandomState(0)
     store = _synthetic_detector_store(rng)
     dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
-    model = CenterNetDetector(num_classes=5, dtype=dtype)
+    model = CenterNetDetector(num_classes=5, dtype=dtype,
+                              shared_head_dim=shared_head,
+                              fused_heads=not old_model,
+                              stem_s2d=not old_model,
+                              trunk_remat=trunk_remat)
     state = create_detector_state(jax.random.PRNGKey(0), model, im_size)
     init_pool, step_fn = make_pooled_detector_step(
-        model, pool_size, batch, im_size, fresh_per_step=fresh)
+        model, pool_size, batch, im_size, fresh_per_step=fresh,
+        refresh_every=refresh_every)
     pool = init_pool(store, jax.random.PRNGKey(3))
     lr = jnp.float32(2.5e-4)
 
-    compiled = step_fn.lower(state, store, pool, jnp.int32(0),
-                             jax.random.PRNGKey(9), lr).compile()
-    cost = compiled.cost_analysis()
-    if isinstance(cost, list):
-        cost = cost[0]
-    flops = float(cost.get("flops", -1.0)) if cost else -1.0
+    def _flops_of(compiled):
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        return float(cost.get("flops", -1.0)) if cost else -1.0
+
+    flops = _flops_of(step_fn.lower(state, store, pool, jnp.int32(0),
+                                    jax.random.PRNGKey(9), lr).compile())
+    # Amortize the composer chunk (executed 1/refresh_every steps but
+    # present in the cond program's cost analysis every step).
+    from pix2pose_tpu.training.detector_data import (make_detector_batch,
+                                                     pack_detector_batch)
+    chunk = fresh * refresh_every
+
+    @jax.jit
+    def _compose_chunk(store, key):
+        return pack_detector_batch(make_detector_batch(
+            store, key, chunk, im_size, k_obj=8, stride=4,
+            scale_range=(0.6, 1.6)))
+
+    compose_flops = _flops_of(
+        _compose_chunk.lower(store, jax.random.PRNGKey(9)).compile())
+    if flops > 0 and compose_flops > 0:
+        flops = (flops - compose_flops
+                 + compose_flops / refresh_every)
 
     it = 0
 
@@ -286,11 +321,16 @@ def bench_detector_pooled(batch: int = 32, im_size: int = 384,
         return float(np.asarray(parts["total"]))  # forces the chain
 
     run(2)  # warmup (donation steady-state)
+    # The timed window must cover a whole refresh period or the median
+    # window under-represents refresh steps (at refresh_every=16 an
+    # 8-step window contains a refresh only half the time).
+    win = refresh_every * max(1, -(-8 // refresh_every))  # lcm-ish
+    it = win * ((it + win - 1) // win)  # align windows to refresh phase
     rates = []
     for _w in range(4):
         t0 = _time.perf_counter()
-        run(8)
-        rates.append(8 / (_time.perf_counter() - t0))
+        run(win)
+        rates.append(win / (_time.perf_counter() - t0))
     rates.sort()
     med = rates[len(rates) // 2]
     mfu = med * flops / V5E_BF16_PEAK_FLOPS * 100.0 if flops > 0 else None
@@ -298,8 +338,14 @@ def bench_detector_pooled(batch: int = 32, im_size: int = 384,
         raise SystemExit("REFUSING impossible result (> chip peak)")
     return {
         "metric": f"CenterNet detector train step ms (scene pool "
-                  f"{pool_size}/fresh {fresh}, batch {batch} @ "
-                  f"{im_size}^2, {compute_dtype}, completion-verified)",
+                  f"{pool_size}/fresh {fresh}/refresh_every "
+                  f"{refresh_every}, batch {batch} @ {im_size}^2, "
+                  f"{compute_dtype}"
+                  + (f", shared_head {shared_head}" if shared_head
+                     else "")
+                  + (", pre-round-4 model" if old_model else "")
+                  + (", trunk remat" if trunk_remat else "")
+                  + ", completion-verified)",
         "value": round(1e3 / med, 2), "unit": "ms/step",
         "steps_per_s": round(med, 2),
         "implied_mfu_pct": round(mfu, 2) if mfu is not None else None,
@@ -324,12 +370,19 @@ def main():
     elif mode == "detector-data":
         out = bench_detector(data_only=True)
     elif mode.startswith("detector-"):
-        # detector-<batch>[-bf16][-pool], e.g. detector-32-bf16-pool
+        # detector-<batch>[-bf16][-pool][-shared][-oldmodel][-rN],
+        # e.g. detector-32-bf16-pool-r8
         parts = mode.split("-")[1:]
         cd = "bfloat16" if "bf16" in parts else "float32"
+        refresh = next((int(p[1:]) for p in parts
+                        if p.startswith("r") and p[1:].isdigit()), 4)
         if "pool" in parts:
-            out = bench_detector_pooled(batch=int(parts[0]),
-                                        compute_dtype=cd)
+            out = bench_detector_pooled(
+                batch=int(parts[0]), compute_dtype=cd,
+                refresh_every=refresh,
+                shared_head=256 if "shared" in parts else 0,
+                old_model="oldmodel" in parts,
+                trunk_remat="remat" in parts)
         else:
             out = bench_detector(batch=int(parts[0]), compute_dtype=cd)
     elif mode.startswith("multi-"):
