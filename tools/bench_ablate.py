@@ -88,6 +88,18 @@ def apply_mode(mode: str):
         pnp_ops.pnp_ransac_batch = stub_batch
     elif mode == "gn-half":
         pnp_ops.pnp_ransac_batch = _patched_batch(refine_iters=4)
+    elif mode == "gn-0":
+        # consensus GN chain off (refit DLT + 1 tighten iter remain) —
+        # attribution only, NOT an accuracy-valid config
+        pnp_ops.pnp_ransac_batch = _patched_batch(refine_iters=0)
+    elif mode == "hyp-8":
+        pnp_ops.pnp_ransac_batch = _patched_batch(iters=8)
+    elif mode == "hyp-16":
+        pnp_ops.pnp_ransac_batch = _patched_batch(iters=16)
+    elif mode == "polish-1":
+        pnp_ops.pnp_ransac_batch = _patched_batch(hyp_polish_iters=1)
+    elif mode == "ss8":
+        pnp_ops.pnp_ransac_batch = _patched_batch(select_stride=8)
     elif mode == "gn-8":
         pnp_ops.pnp_ransac_batch = _patched_batch(refine_iters=8)
     elif mode == "ss-auto":
