@@ -81,6 +81,14 @@ class EstimatorConfig:
     select_stride: int | None = 4
     # Per-hypothesis GN polish iterations before scoring (0 disables).
     hyp_polish_iters: int = 3
+    # Cap on correspondences fed to PnP: valid grid points are compacted
+    # (order-preserving uniform subsample, ``ops/pnp.py:
+    # compact_correspondences``) into a (max_pnp_points,) layout, scaling
+    # down EVERY PnP stage (sampling argsort, hypothesis DLT, selection
+    # scoring, consensus GN) by n_grid/max_pnp_points. Inlier counts are
+    # rescaled back to full-grid units so score_type-2 ranking is
+    # unchanged. None = feed the full stride-2 grid (4096 points).
+    max_pnp_points: int | None = None
     # Network input resolution (reference ``ae_model.py:71``).
     im_size: int = 128
     backbone: str = "paper"  # "paper" | "resnet50"

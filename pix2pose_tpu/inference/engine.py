@@ -399,14 +399,38 @@ class Pix2PoseEstimator:
         # the per-pixel confidence the reference only thresholds
         # (``recognition.py:203``) also carries ranking information
         quality = (-flat(sub(prob2), (gs * gs,)) if cfg.prosac else None)
+        p_obj = flat(xyz_mm, (gs * gs, 3))
+        p_img = flat(img_pts, (gs * gs, 2))
+        p_val = flat(pnp_valid, (gs * gs,))
+        if cfg.max_pnp_points and cfg.max_pnp_points < gs * gs:
+            # compact the sparse grid correspondences into a fixed short
+            # layout — every PnP stage then runs at max_pnp_points instead
+            # of gs^2 (see ops/pnp.py:compact_correspondences)
+            comp = jax.vmap(
+                lambda o, im, v, q: pnp_ops.compact_correspondences(
+                    o, im, v, cfg.max_pnp_points, q),
+                in_axes=(0, 0, 0, None if quality is None else 0))
+            p_obj, p_img, p_val, quality, n_val_full, n_kept = comp(
+                p_obj, p_img, p_val, quality)
+            count_scale = (n_val_full.astype(jnp.float32)
+                           / jnp.maximum(n_kept.astype(jnp.float32), 1.0))
+        else:
+            count_scale = None
         res = pnp_ops.pnp_ransac_batch(
-            flat(xyz_mm, (gs * gs, 3)), flat(img_pts, (gs * gs, 2)),
-            flat(pnp_valid, (gs * gs,)), cam_k, keys, quality,
+            p_obj, p_img, p_val, cam_k, keys, quality,
             iters=cfg.ransac_iters, reproj_px=cfg.ransac_reproj_px,
             min_pts=cfg.min_pnp_px, refine_iters=cfg.gn_refine_iters,
             select_stride=cfg.select_stride,
             hyp_polish_iters=cfg.hyp_polish_iters,
         )
+        if count_scale is not None:
+            # rescale subsampled inlier counts to full-grid units so the
+            # dist/frac_inlier rankings match the uncompacted engine
+            res = res._replace(n_inliers=jnp.where(
+                res.n_inliers >= 0,
+                jnp.round(res.n_inliers.astype(jnp.float32)
+                          * count_scale).astype(jnp.int32),
+                res.n_inliers))
         res = jax.tree_util.tree_map(
             lambda x: x.reshape((n_det, n_th) + x.shape[1:]), res)
 

@@ -214,6 +214,50 @@ def _sample_minimal_sets(key, valid, n_hyp: int, k: int = 6,
     return order[pos]
 
 
+def compact_correspondences(obj_pts, img_pts, valid, k_max: int,
+                            quality=None):
+    """Compact valid correspondences into a fixed ``(k_max,)`` layout.
+
+    When ``n_valid <= k_max`` every valid point is kept (semantics
+    identical to the uncompacted call, just densely packed); otherwise an
+    ORDER-PRESERVING uniform subsample of ~``k_max`` points is taken
+    (every ``n_valid/k_max``-th valid point), so the spatial distribution
+    of the grid correspondences is preserved — no quality/confidence bias
+    that could skew the RANSAC consensus band.
+
+    Motivation (measured 2026-08-20): the engine feeds PnP the full
+    stride-2 crop grid (4096 points/candidate) of which typically only
+    1-2k are valid; every PnP stage (sampling argsort, selection-scoring
+    scan, 13 consensus-GN iterations) pays HBM traffic proportional to
+    the PADDED length. Compacting to k_max scales all of it down.
+
+    Returns ``(obj_k, img_k, valid_k, quality_k, n_valid, n_kept)``;
+    ``n_valid / max(n_kept, 1)`` is the factor that rescales subsampled
+    inlier counts back to full-grid units.
+    """
+    n = valid.shape[0]
+    valid = jnp.asarray(valid, bool)
+    cum = jnp.cumsum(valid.astype(jnp.int32))
+    n_valid = cum[-1]
+    scale = jnp.minimum(
+        1.0, k_max / jnp.maximum(n_valid.astype(jnp.float32), 1.0))
+    tgt = jnp.floor(cum.astype(jnp.float32) * scale + 1e-4) \
+        .astype(jnp.int32)
+    prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), tgt[:-1]])
+    keep = valid & (tgt > prev)
+    ck = jnp.cumsum(keep.astype(jnp.int32))
+    n_kept = ck[-1]
+    # slot j <- index of the (j+1)-th kept point (first cumsum hit)
+    idx = jnp.searchsorted(ck, jnp.arange(1, k_max + 1, dtype=jnp.int32))
+    idx = jnp.clip(idx, 0, n - 1)
+    valid_k = jnp.arange(k_max) < n_kept
+    obj_k = jnp.where(valid_k[:, None], jnp.asarray(obj_pts)[idx], 0.0)
+    img_k = jnp.where(valid_k[:, None], jnp.asarray(img_pts)[idx], 0.0)
+    q_k = (None if quality is None
+           else jnp.where(valid_k, jnp.asarray(quality)[idx], 0.0))
+    return obj_k, img_k, valid_k, q_k, n_valid, n_kept
+
+
 def pnp_ransac(obj_pts, img_pts, valid, K, key, quality=None, *,
                iters: int = 100,
                reproj_px: float = 5.0, min_pts: int = 6,

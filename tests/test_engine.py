@@ -243,3 +243,30 @@ def test_engine_threads_ransac_config(monkeypatch):
     assert seen["select_stride"] == 3
     assert seen["hyp_polish_iters"] == 2
     assert bool(out.valid[0])
+
+
+def test_engine_max_pnp_points_matches_full(estimator):
+    """Compacted-correspondence engine (max_pnp_points) must recover the
+    same pose as the full-grid path, with frac_inlier consistent after
+    the subsample-count rescale."""
+    _, params = estimator
+    model = OracleGenerator()
+    R, t = pose_with_euler()
+    rgb, obj_param, hit = xyz_scene(R, t)
+    bboxes = np.stack([_bbox_from_hit(hit), np.zeros(4, np.int32)])
+    det_valid = np.array([True, False])
+    outs = {}
+    for cap in (None, 1024):
+        cfg = EstimatorConfig(outlier_th=(0.1, 0.2, 0.3), inlier_th=0.1,
+                              max_pnp_points=cap)
+        est_c = Pix2PoseEstimator(model, cfg)
+        outs[cap] = est_c(params, rgb, bboxes, det_valid, CAM_K,
+                          obj_param, jax.random.PRNGKey(1))
+    full, comp = outs[None], outs[1024]
+    assert bool(comp.valid[0]) and not bool(comp.valid[1])
+    assert rot_err_deg(np.asarray(comp.R[0]), R) < 3.0
+    assert np.linalg.norm(np.asarray(comp.t[0]) - t) < 0.02 * t[2]
+    # rescaled counts keep score_type-2 fractions comparable
+    f_full = float(full.frac_inlier[0])
+    f_comp = float(comp.frac_inlier[0])
+    assert abs(f_comp - f_full) < 0.15 * max(f_full, 1e-6)

@@ -119,3 +119,65 @@ def test_batched_candidates():
     for b in range(4):
         assert bool(res.ok[b])
         assert rot_err_deg(np.asarray(res.R[b]), Rs[b]) < 2.0
+
+
+def test_compact_correspondences_keeps_all_when_under_cap():
+    rng = np.random.RandomState(10)
+    n = 512
+    obj = rng.randn(n, 3).astype(np.float32)
+    img = rng.randn(n, 2).astype(np.float32)
+    q = rng.randn(n).astype(np.float32)
+    valid = rng.rand(n) < 0.3
+    o, i, v, qq, nv, nk = pnp.compact_correspondences(obj, img, valid,
+                                                      256, q)
+    nvalid = int(valid.sum())
+    assert int(nv) == nvalid and int(nk) == nvalid
+    np.testing.assert_array_equal(np.asarray(o[:nvalid]), obj[valid])
+    np.testing.assert_array_equal(np.asarray(i[:nvalid]), img[valid])
+    np.testing.assert_array_equal(np.asarray(qq[:nvalid]), q[valid])
+    assert int(np.asarray(v).sum()) == nvalid
+    assert not np.asarray(v)[nvalid:].any()
+    assert (np.asarray(o[nvalid:]) == 0).all()
+
+
+def test_compact_correspondences_uniform_subsample_over_cap():
+    rng = np.random.RandomState(11)
+    n = 512
+    obj = rng.randn(n, 3).astype(np.float32)
+    img = rng.randn(n, 2).astype(np.float32)
+    valid = rng.rand(n) < 0.9
+    o, i, v, q, nv, nk = pnp.compact_correspondences(obj, img, valid, 128)
+    assert q is None
+    assert int(nk) in (127, 128)
+    kept = np.asarray(o[:int(nk)])
+    vi = np.flatnonzero(valid)
+    pos = []
+    for row in kept:
+        m = np.where((obj[vi] == row).all(1))[0]
+        assert len(m) >= 1
+        pos.append(m[0])
+    # order-preserving uniform subsample: increasing ranks, bounded gaps
+    assert all(pos[k] < pos[k + 1] for k in range(len(pos) - 1))
+    gaps = np.diff(pos)
+    assert gaps.max() <= int(np.ceil(len(vi) / 128)) + 1
+
+
+def test_compact_correspondences_zero_valid():
+    n = 128
+    o, i, v, q, nv, nk = pnp.compact_correspondences(
+        np.zeros((n, 3), np.float32), np.zeros((n, 2), np.float32),
+        np.zeros(n, bool), 64)
+    assert int(nv) == 0 and int(nk) == 0 and not np.asarray(v).any()
+
+
+def test_compacted_solve_matches_full(solver):
+    rng = np.random.RandomState(12)
+    obj, img, valid, R, t = synth(rng, noise=0.5)
+    q = rng.randn(obj.shape[0]).astype(np.float32)
+    co, ci, cv, cq, nv, nk = pnp.compact_correspondences(
+        obj, img, valid, obj.shape[0] // 2, q)
+    res = pnp.pnp_ransac(co, ci, cv, K, jax.random.PRNGKey(3), cq,
+                         iters=32, select_stride=4)
+    assert bool(res.ok)
+    assert rot_err_deg(np.asarray(res.R), R) < 2.0
+    assert float(np.linalg.norm(np.asarray(res.t) - t)) < 5.0
