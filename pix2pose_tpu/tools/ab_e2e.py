@@ -52,6 +52,17 @@ def _coerce(cls, name, raw):
             f"unknown {cls.__name__} field {name!r}; have "
             f"{sorted(fields)}")
     cur = getattr(cls(), name, fields[name].default)
+    if cur is None:
+        # Optional fields (e.g. max_pnp_points: int | None): "none" stays
+        # None, otherwise parse numerically before falling back to str
+        if raw.lower() == "none":
+            return None
+        for cast in (int, float):
+            try:
+                return cast(raw)
+            except ValueError:
+                pass
+        return raw
     if isinstance(cur, bool):
         return raw.lower() in ("1", "true", "yes")
     if isinstance(cur, int):

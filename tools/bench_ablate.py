@@ -128,7 +128,8 @@ def apply_mode(mode: str):
         orig = smallmat.nearest_rotation_scale
         smallmat.nearest_rotation_scale = (
             lambda M, iters=8: orig(M, iters=iters))
-    elif mode not in ("stage2-one", "prosac-32", "reference-100"):
+    elif mode not in ("stage2-one", "prosac-32", "reference-100") \
+            and not mode.startswith("compact-"):
         raise SystemExit(f"unknown mode {mode}")
 
 
@@ -151,6 +152,9 @@ def main():
         extra = {"prosac": True, "ransac_iters": 32}
     elif mode == "reference-100":
         extra = {"prosac": False, "ransac_iters": 100}
+    elif mode.startswith("compact-"):
+        # correspondence compaction cap (config knob, not a pnp patch)
+        extra = {"max_pnp_points": int(mode.split("-")[1])}
     cam_k = jnp.tile(jnp.asarray(
         [[572.4, 0.0, 325.3], [0.0, 573.6, 242.0], [0.0, 0.0, 1.0]],
         jnp.float32)[None], (n_img, 1, 1))
