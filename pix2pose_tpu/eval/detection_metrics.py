@@ -300,3 +300,55 @@ def collect_synthetic_detections(model, variables, store, n_images: int,
             preds.append(pred)
             gts.append(gt)
     return preds[:n_images], gts[:n_images]
+
+
+def collect_bop_split_detections(detector, ds, target_list,
+                                 min_px: int = 16):
+    """Run a Detection-protocol detector over a REAL BOP split and format
+    (preds, gts) for :func:`evaluate_detections`, classes = obj_ids.
+
+    This is the honest deployment-domain detection metric the composed
+    -scene harness (:func:`collect_synthetic_detections`) cannot give:
+    it measures transfer onto the actual evaluation images (reference
+    analogue: Mask-RCNN is trained ON the rendered scene images it is
+    later run on, ``tools/1_2_*.py``). GT boxes/masks come from
+    ``mask_visib``; instances under ``min_px`` visible pixels are
+    dropped from GT (matching the evaluator's own skip rule).
+    """
+    from PIL import Image
+
+    preds, gts = [], []
+    seen = set()
+    for scene_id, im_id, *_ in target_list:
+        if (scene_id, im_id) in seen:
+            continue
+        seen.add((scene_id, im_id))
+        rgb = ds.load_rgb(scene_id, im_id)
+        h, w = rgb.shape[:2]
+        dets = detector.detect(scene_id, im_id, rgb)
+        pred = {"bbox": np.asarray([d.bbox for d in dets],
+                                   np.float64).reshape(-1, 4),
+                "score": np.asarray([d.score for d in dets]),
+                "cls": np.asarray([d.obj_id for d in dets], np.int64)}
+        if dets and dets[0].mask is not None:
+            pred["mask"] = np.stack([d.mask for d in dets])
+        else:
+            pred["mask"] = np.zeros((0, h, w), bool)
+        gt_list = ds.scene_gt(scene_id)[im_id]
+        gb, gc, gm = [], [], []
+        for gt_id, g in enumerate(gt_list):
+            m = np.asarray(Image.open(
+                ds.mask_path(scene_id, im_id, gt_id, visib=True))) > 127
+            if m.sum() < min_px:
+                continue
+            v, u = np.where(m)
+            gb.append([v.min(), u.min(), v.max() + 1, u.max() + 1])
+            gc.append(g["obj_id"])
+            gm.append(m)
+        gt = {"bbox": np.asarray(gb, np.float64).reshape(-1, 4),
+              "cls": np.asarray(gc, np.int64)}
+        gt["mask"] = (np.stack(gm) if gm
+                      else np.zeros((0, h, w), bool))
+        preds.append(pred)
+        gts.append(gt)
+    return preds, gts

@@ -67,9 +67,46 @@ def dump_detections(detector, ds, target_list, path) -> int:
     return len(entries)
 
 
+def _detector_scale_range(ds, det_im, patch_px=128, margin=1.3):
+    """Patch-placement scale range matched to the split's APPARENT
+    instance sizes in the detector's (det_im, det_im) input frame.
+
+    Root cause this guards (diagnosed 2026-08-20 on the first full-dress
+    run): the composer's default ``scale_range=(0.6, 1.6)`` trains on
+    77-205 px instances while this dataset's objects appear at ~30-65 px
+    after the 640x480 -> det_im anisotropic resize — the detector then
+    merges adjacent duplicate instances into one box and misses the
+    small objects entirely (recall 11/30; the merged-crop poses PnP'd
+    ~200 mm off). The composer docstring documents the same failure on
+    the duplicate-cube e2e.
+    """
+    from PIL import Image
+
+    im_w, im_h = ds.im_size
+    sizes = []
+    for scene_id in ds.scene_ids():
+        for im_id, gt_list in sorted(ds.scene_gt(scene_id).items())[:12]:
+            for gt_id in range(len(gt_list)):
+                p = ds.mask_path(scene_id, im_id, gt_id, visib=True)
+                if not os.path.exists(p):
+                    continue
+                m = np.asarray(Image.open(p)) > 127
+                if m.sum() < 64:
+                    continue
+                v, u = np.where(m)
+                sizes.append(max((v.max() - v.min() + 1) * det_im / im_h,
+                                 (u.max() - u.min() + 1) * det_im / im_w))
+    if not sizes:
+        return (0.6, 1.6)
+    lo = float(np.percentile(sizes, 5)) / patch_px / margin
+    hi = float(np.percentile(sizes, 95)) / patch_px * margin
+    return (max(round(lo, 2), 0.08), min(round(hi, 2), 1.6))
+
+
 def run_rehearsal(out_root=None, gan_steps=6000, det_steps=3000,
                   n_train=48, n_test=6, det_batch=8, det_im=384,
-                  det_k_obj=8, map_images=32, icp=True, seed=0):
+                  det_k_obj=8, map_images=32, icp=True, seed=0,
+                  det_score_th=0.2):
     """Full pipeline; returns the summary dict."""
     import jax
     import jax.numpy as jnp
@@ -144,9 +181,15 @@ def run_rehearsal(out_root=None, gan_steps=6000, det_steps=3000,
     from PIL import Image
 
     rng = np.random.RandomState(0)
-    for i in range(8):
+    for i in range(5):
         Image.fromarray(rng.randint(0, 255, (120, 160, 3)).astype(
             np.uint8)).save(os.path.join(back_dir, f"b{i}.png"))
+    # solid backgrounds keep the test split's plain white frame in-domain
+    # for the detector (the composer's flat-background branch only covers
+    # mid-gray values)
+    for i, val in enumerate((255, 230, 160)):
+        Image.fromarray(np.full((120, 160, 3), val, np.uint8)).save(
+            os.path.join(back_dir, f"s{i}.png"))
 
     stores = {o: PatchStore.load(
         os.path.join(ds_train.dir, "train_xyz", f"{o:02d}"), back_dir)
@@ -199,11 +242,15 @@ def run_rehearsal(out_root=None, gan_steps=6000, det_steps=3000,
                                        det_im)
     dstate = jax.device_put(dstate, accel)
     raw_dstep = make_detector_step(det_model)
+    det_scale = _detector_scale_range(ds_train, det_im)
+    summary["det_scale_range"] = det_scale
+    print(f"[rehearsal] detector scale_range={det_scale}", flush=True)
 
     @jax.jit
     def dstep(state, dstore, key, lr):
         batch = make_detector_batch(dstore, key, det_batch, det_im,
-                                    k_obj=det_k_obj)
+                                    k_obj=det_k_obj,
+                                    scale_range=det_scale)
         return raw_dstep(state, batch, lr)
 
     key = jax.device_put(jax.random.PRNGKey(3), accel)
@@ -220,11 +267,21 @@ def run_rehearsal(out_root=None, gan_steps=6000, det_steps=3000,
           f"{time.time() - t0:.0f}s", flush=True)
     det_vars = {"params": dstate.params, "batch_stats": dstate.stats}
 
+    # persist trained weights before any eval step can fail — a crashed
+    # eval leg must never cost the ~15 min of training above
+    import pickle
+
+    with open(os.path.join(out_dir, "weights.pkl"), "wb") as f:
+        pickle.dump({"gen": jax.device_get(params_by_obj),
+                     "det": jax.device_get(det_vars),
+                     "obj_params": obj_params, "locks": locks}, f)
+
     # ---- 6. detection quality: box + mask mAP ----
     preds, gts = collect_synthetic_detections(
         det_model, det_vars, dstore, n_images=map_images,
         key=jax.random.PRNGKey(11), im_size=det_im, k_obj=det_k_obj,
-        batch_size=4, score_floor=0.05, with_masks=True)
+        batch_size=4, score_floor=0.05, with_masks=True,
+        scale_range=det_scale)
     res_box = evaluate_detections(preds, gts)
     res_mask = evaluate_detections(preds, gts, iou_type="mask")
     summary["det_box_mAP50"] = round(res_box["mAP50"], 4)
@@ -232,15 +289,32 @@ def run_rehearsal(out_root=None, gan_steps=6000, det_steps=3000,
     summary["det_mask_mAP50"] = round(res_mask["mAP50"], 4)
     summary["det_mask_mAP75"] = round(res_mask["mAP75"], 4)
     print(f"[rehearsal] box mAP50={res_box['mAP50']:.3f} "
-          f"mask mAP50={res_mask['mAP50']:.3f}", flush=True)
+          f"mask mAP50={res_mask['mAP50']:.3f} (composed domain)",
+          flush=True)
 
     # ---- 7/8. both evaluators x both detector transports ----
     jd = JaxDetector(det_model, det_vars, class_to_obj_id=obj_ids,
-                     score_th=0.25, input_size=det_im)
+                     score_th=det_score_th, input_size=det_im)
     from pix2pose_tpu.data.bop import get_target_list
+    from pix2pose_tpu.eval.detection_metrics import \
+        collect_bop_split_detections
 
     target_list = get_target_list(
         os.path.join(ds_test.dir, "test_targets_bop19.json"))
+
+    # honest deployment-domain detection quality: the REAL test images
+    tp, tg = collect_bop_split_detections(jd, ds_test, target_list)
+    res_tbox = evaluate_detections(tp, tg)
+    res_tmask = evaluate_detections(tp, tg, iou_type="mask")
+    summary["det_test_box_mAP50"] = round(res_tbox["mAP50"], 4)
+    summary["det_test_mask_mAP50"] = round(res_tmask["mAP50"], 4)
+    n_tgt = sum(len(g["cls"]) for g in tg)
+    n_det = sum(len(p["cls"]) for p in tp)
+    summary["det_test_n_gt"] = n_tgt
+    summary["det_test_n_det"] = n_det
+    print(f"[rehearsal] TEST-split box mAP50={res_tbox['mAP50']:.3f} "
+          f"mask mAP50={res_tmask['mAP50']:.3f} "
+          f"({n_det} dets / {n_tgt} gt)", flush=True)
     det_json = os.path.join(out_dir, "detections.json")
     n_dumped = dump_detections(jd, ds_test, target_list, det_json)
     print(f"[rehearsal] dumped {n_dumped} detections -> {det_json}",
