@@ -81,6 +81,13 @@ class EstimatorConfig:
     select_stride: int | None = 4
     # Per-hypothesis GN polish iterations before scoring (0 disables).
     hyp_polish_iters: int = 3
+    # Correspondence-grid stride over the 128 stage-2 crop (grid =
+    # (128/pnp_stride)^2 slots). 2 = 4096 slots (the validated default);
+    # 4 = 1024 slots — zero-overhead static slicing that cuts every
+    # point-proportional PnP stage 4x (95.9 -> 72.5 ms launch measured
+    # 2026-08-20) at the cost of 4x fewer correspondences. Gate any flip
+    # with tools/pnp_sweep.py --n-slots 1024 AND an ab_e2e paired run.
+    pnp_stride: int = 2
     # Cap on correspondences fed to PnP: valid grid points are compacted
     # (order-preserving uniform subsample, ``ops/pnp.py:
     # compact_correspondences``) into a (max_pnp_points,) layout, scaling

@@ -128,7 +128,8 @@ def stack_object_params(params_list):
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *params_list)
 
 
-def estimators_for_objects(model, eval_cfg, model_ids, pnp_stride: int = 2):
+def estimators_for_objects(model, eval_cfg, model_ids,
+                           pnp_stride: int | None = None):
     """One estimator per object, deduped by resolved config.
 
     The reference builds one ``pix2pose`` graph per object so that a
@@ -160,10 +161,13 @@ class Pix2PoseEstimator:
     """
 
     def __init__(self, model, cfg: EstimatorConfig = EstimatorConfig(),
-                 pnp_stride: int = 2):
+                 pnp_stride: int | None = None):
         self.model = model
         self.cfg = cfg
-        self.pnp_stride = pnp_stride
+        # constructor arg overrides the config field (back-compat); the
+        # config field is what ab_e2e / eval drivers reach
+        self.pnp_stride = (pnp_stride if pnp_stride is not None
+                           else cfg.pnp_stride)
         self._run = jax.jit(
             functools.partial(self._estimate),
         )

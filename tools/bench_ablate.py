@@ -128,7 +128,8 @@ def apply_mode(mode: str):
         orig = smallmat.nearest_rotation_scale
         smallmat.nearest_rotation_scale = (
             lambda M, iters=8: orig(M, iters=iters))
-    elif mode not in ("stage2-one", "prosac-32", "reference-100") \
+    elif mode not in ("stage2-one", "prosac-32", "reference-100",
+                      "pst4") \
             and not mode.startswith("compact-"):
         raise SystemExit(f"unknown mode {mode}")
 
@@ -161,8 +162,10 @@ def main():
     obj_param = jnp.asarray([40.0, 40.0, 40.0, 0.0, 0.0, 0.0], jnp.float32)
     model = build_generator("paper", dtype=jnp.bfloat16)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+    pnp_stride = 4 if mode == "pst4" else 2
     est = Pix2PoseEstimator(model, EstimatorConfig(outlier_th=th,
-                                                   **extra))
+                                                   **extra),
+                            pnp_stride=pnp_stride)
 
     rng = np.random.RandomState(0)
     rgbs = jax.device_put(

@@ -32,7 +32,8 @@ N_SLOTS = 4096
 VALID_FRAC = 0.5
 
 
-def make_case(seed, noise_px, outlier_frac, n=N_SLOTS):
+def make_case(seed, noise_px, outlier_frac, n=N_SLOTS,
+              valid_frac=VALID_FRAC):
     """One synthetic engine-like correspondence set. Returns
     (obj_pts, img_pts, valid, quality, R_gt, t_gt, K)."""
     rng = np.random.RandomState(seed)
@@ -53,7 +54,7 @@ def make_case(seed, noise_px, outlier_frac, n=N_SLOTS):
     uv = cam @ K.T
     img = (uv[:, :2] / uv[:, 2:3]).astype(np.float32)
     img += rng.normal(0.0, noise_px, img.shape).astype(np.float32)
-    valid = rng.rand(n) < VALID_FRAC
+    valid = rng.rand(n) < valid_frac
     # outliers: replace image point with uniform in-frame garbage
     out = valid & (rng.rand(n) < outlier_frac)
     img[out] = np.stack([rng.uniform(0, 640, out.sum()),
@@ -66,13 +67,14 @@ def make_case(seed, noise_px, outlier_frac, n=N_SLOTS):
 
 
 def run_cell(noise_px, outlier_frac, seeds, solver_kwargs, max_pnp_points,
-             prosac=True):
+             prosac=True, n_slots=N_SLOTS, valid_frac=VALID_FRAC):
     import jax
     import jax.numpy as jnp
 
     from pix2pose_tpu.ops import pnp as pnp_ops
 
-    cases = [make_case(s, noise_px, outlier_frac) for s in range(seeds)]
+    cases = [make_case(s, noise_px, outlier_frac, n=n_slots,
+                       valid_frac=valid_frac) for s in range(seeds)]
     obj = jnp.asarray(np.stack([c[0] for c in cases]))
     img = jnp.asarray(np.stack([c[1] for c in cases]))
     val = jnp.asarray(np.stack([c[2] for c in cases]))
@@ -113,6 +115,8 @@ def main(argv=None):
     ap.add_argument("--select-stride", type=int, default=4)
     ap.add_argument("--max-pnp-points", type=int, default=0)
     ap.add_argument("--no-prosac", action="store_true")
+    ap.add_argument("--n-slots", type=int, default=N_SLOTS)
+    ap.add_argument("--valid-frac", type=float, default=VALID_FRAC)
     ap.add_argument("--cells", default="0.5:0,1:0.25,1:0.5,2:0.25,2:0.5",
                     help="comma list of noise_px:outlier_frac")
     args = ap.parse_args(argv)
@@ -121,12 +125,15 @@ def main(argv=None):
               hyp_polish_iters=args.polish,
               select_stride=args.select_stride)
     cfg = {"config": {**kw, "max_pnp_points": args.max_pnp_points or None,
-                      "prosac": not args.no_prosac, "seeds": args.seeds}}
+                      "prosac": not args.no_prosac, "seeds": args.seeds,
+                      "n_slots": args.n_slots,
+                      "valid_frac": args.valid_frac}}
     print(json.dumps(cfg), flush=True)
     for cell in args.cells.split(","):
         npx, ofr = cell.split(":")
         r = run_cell(float(npx), float(ofr), args.seeds, kw,
-                     args.max_pnp_points, prosac=not args.no_prosac)
+                     args.max_pnp_points, prosac=not args.no_prosac,
+                     n_slots=args.n_slots, valid_frac=args.valid_frac)
         print(json.dumps(r), flush=True)
 
 
