@@ -82,12 +82,20 @@ class EstimatorConfig:
     # Per-hypothesis GN polish iterations before scoring (0 disables).
     hyp_polish_iters: int = 3
     # Correspondence-grid stride over the 128 stage-2 crop (grid =
-    # (128/pnp_stride)^2 slots). 2 = 4096 slots (the validated default);
-    # 4 = 1024 slots — zero-overhead static slicing that cuts every
-    # point-proportional PnP stage 4x (95.9 -> 72.5 ms launch measured
-    # 2026-08-20) at the cost of 4x fewer correspondences. Gate any flip
-    # with tools/pnp_sweep.py --n-slots 1024 AND an ab_e2e paired run.
-    pnp_stride: int = 2
+    # (128/pnp_stride)^2 slots). DEFAULT FLIPPED 2 -> 4 (2026-08-20):
+    # zero-overhead static slicing that cuts every point-proportional
+    # PnP stage 4x — engine launch 95.9 -> 72.5 ms (1334 -> 1765
+    # crops/s). Gates passed: solver sweep (tools/pnp_sweep.py
+    # --n-slots 1024: ~2x median error vs the 4096-grid but absolutes
+    # stay sub-mm/sub-0.2deg through 1 px noise / 25% outliers — a
+    # VARIANCE cost from fewer points, unlike the rejected
+    # gn_refine_iters=4 which was 1.52deg/6.6mm) and the 3-seed paired
+    # cube e2e (ab_e2e --b pnp_stride=4: deltas +0.040/-0.030/-0.024,
+    # mean -0.005 — seed-noise level). KNOWN TAIL: at 2 px noise + 50%
+    # outliers the p90 rotation error is 38deg vs the 4096-grid's 9.7deg
+    # — for heavily blurred/low-texture real data set pnp_stride=2 (one
+    # config line restores the validated dense grid).
+    pnp_stride: int = 4
     # Cap on correspondences fed to PnP: valid grid points are compacted
     # (order-preserving uniform subsample, ``ops/pnp.py:
     # compact_correspondences``) into a (max_pnp_points,) layout, scaling

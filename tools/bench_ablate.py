@@ -129,7 +129,7 @@ def apply_mode(mode: str):
         smallmat.nearest_rotation_scale = (
             lambda M, iters=8: orig(M, iters=iters))
     elif mode not in ("stage2-one", "prosac-32", "reference-100",
-                      "pst4") \
+                      "pst4", "pst2") \
             and not mode.startswith("compact-"):
         raise SystemExit(f"unknown mode {mode}")
 
@@ -162,7 +162,8 @@ def main():
     obj_param = jnp.asarray([40.0, 40.0, 40.0, 0.0, 0.0, 0.0], jnp.float32)
     model = build_generator("paper", dtype=jnp.bfloat16)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
-    pnp_stride = 4 if mode == "pst4" else 2
+    # pst4/pst2 pin the grid stride; other modes use the config default
+    pnp_stride = {"pst4": 4, "pst2": 2}.get(mode)
     est = Pix2PoseEstimator(model, EstimatorConfig(outlier_th=th,
                                                    **extra),
                             pnp_stride=pnp_stride)
