@@ -38,6 +38,14 @@ def main():
                     help="scenes' images per split; each image carries "
                          "all 3 objects, so pairs/object = this")
     ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--root", default=None,
+                    help="reuse a dataset/weights root across runs")
+    ap.add_argument("--reuse", action="store_true",
+                    help="load weights cached under --root (skip training)")
+    ap.add_argument("--pnp-stride", type=int, default=None,
+                    help="override EstimatorConfig.pnp_stride at eval")
+    ap.add_argument("--diagnose", action="store_true",
+                    help="per-object decode-quality probe on a GT view")
     args = ap.parse_args()
 
     from bop_fixture import build_multishape_dataset, multishape_objects
@@ -56,20 +64,34 @@ def main():
                                              stack_stores, stack_sym_pools,
                                              unstack_state)
 
-    root = tempfile.mkdtemp(prefix="shapes_demo_")
+    root = args.root or tempfile.mkdtemp(prefix="shapes_demo_")
     print(f"dataset root: {root}")
-    build_multishape_dataset(root, n_scenes=1,
-                             ims_per_scene=args.train_views, split="train")
-    build_multishape_dataset(root + "_test", n_scenes=1, ims_per_scene=4,
-                             split="test", seed=23)
-    ds_train = BopDataset(root, "shapes", train=True)
     obj_ids = sorted(multishape_objects().keys())
-    for obj_id in obj_ids:
-        n = render_object_pairs(ds_train, obj_id)
-        print(f"obj {obj_id}: rendered {n} training pairs")
+    if not os.path.exists(os.path.join(root, "shapes")):
+        build_multishape_dataset(root, n_scenes=1,
+                                 ims_per_scene=args.train_views,
+                                 split="train")
+        build_multishape_dataset(root + "_test", n_scenes=1,
+                                 ims_per_scene=4, split="test", seed=23)
+        ds_train = BopDataset(root, "shapes", train=True)
+        for obj_id in obj_ids:
+            n = render_object_pairs(ds_train, obj_id)
+            print(f"obj {obj_id}: rendered {n} training pairs")
+    ds_train = BopDataset(root, "shapes", train=True)
 
+    import pickle
+
+    cache = os.path.join(root, "weights.pkl")
+    gen, disc = AutoEncoder(backbone="paper"), Discriminator()
+    if args.reuse and os.path.exists(cache):
+        with open(cache, "rb") as f:
+            params_by_obj = pickle.load(f)
+        print(f"reusing trained weights from {cache}")
+        do_train = False
+    else:
+        do_train = True
     back_dir = os.path.join(root, "backs")
-    os.makedirs(back_dir)
+    os.makedirs(back_dir, exist_ok=True)
     from PIL import Image
 
     rng = np.random.RandomState(0)
@@ -77,7 +99,7 @@ def main():
         Image.fromarray(rng.randint(0, 255, (120, 160, 3)).astype(
             np.uint8)).save(os.path.join(back_dir, f"b{i}.png"))
 
-    # --- fused 3-object training --------------------------------------
+    # --- fused 4-object training (skipped under --reuse) --------------
     import json
 
     stores = [PatchStore.load(
@@ -95,7 +117,6 @@ def main():
             locks.append(json.load(f)["rotation_lock"])
     print("rotation locks:", dict(zip(obj_ids, locks)))
     cfg = TrainConfig(batch_size=args.batch)
-    gen, disc = AutoEncoder(backbone="paper"), Discriminator()
     states = [create_train_state(jax.random.PRNGKey(o), gen, disc, cfg)
               for o in obj_ids]
     stacked = stack_states(states)
@@ -104,25 +125,33 @@ def main():
     full_rot = jnp.asarray([not lk for lk in locks])
     step_fn = make_multi_step(gen, disc, cfg)
 
-    key = jax.random.PRNGKey(1)
-    t0 = time.time()
-    history = []
-    for it in range(args.steps):
-        key, ks = jax.random.split(key)
-        lr = 1e-3 if it < args.steps // 2 else (
-            3e-4 if it < args.steps * 4 // 5 else 1e-4)
-        stacked, m = step_fn(stacked, stacked_store, n_valid, full_rot,
-                             sym_pools, it, lr,
-                             jax.random.split(ks, len(obj_ids)))
-        if (it + 1) % 1000 == 0:
-            history.append((it, m))
-        if (it + 1) % 100 == 0:
-            jax.block_until_ready(m["recon_loss"])  # cap dispatch queue
-    for it, m in [(i, jax.device_get(p)) for i, p in history]:
-        recon = " ".join(f"{v:.4f}" for v in m["recon_loss"])
-        print(f"it{it} recon=[{recon}]")
-    print(f"{args.steps} fused steps x {len(obj_ids)} objects in "
-          f"{time.time() - t0:.0f}s")
+    if do_train:
+        key = jax.random.PRNGKey(1)
+        t0 = time.time()
+        history = []
+        for it in range(args.steps):
+            key, ks = jax.random.split(key)
+            lr = 1e-3 if it < args.steps // 2 else (
+                3e-4 if it < args.steps * 4 // 5 else 1e-4)
+            stacked, m = step_fn(stacked, stacked_store, n_valid,
+                                 full_rot, sym_pools, it, lr,
+                                 jax.random.split(ks, len(obj_ids)))
+            if (it + 1) % 1000 == 0:
+                history.append((it, m))
+            if (it + 1) % 100 == 0:
+                jax.block_until_ready(m["recon_loss"])
+        for it, m in [(i, jax.device_get(p)) for i, p in history]:
+            recon = " ".join(f"{v:.4f}" for v in m["recon_loss"])
+            print(f"it{it} recon=[{recon}]")
+        print(f"{args.steps} fused steps x {len(obj_ids)} objects in "
+              f"{time.time() - t0:.0f}s")
+        params_by_obj = {}
+        for k, o in enumerate(obj_ids):
+            st = jax.device_get(unstack_state(stacked, k))
+            params_by_obj[o] = {"params": st.gen_params,
+                                "batch_stats": st.gen_stats}
+        with open(cache, "wb") as f:
+            pickle.dump(params_by_obj, f)
 
     # --- ViVo eval with the trained generators ------------------------
     ds_test = BopDataset(root + "_test", "shapes", train=False)
@@ -130,14 +159,75 @@ def main():
                       task_type=2, cand_factor=1.0,
                       outlier_th=(0.1, 0.2, 0.3), inlier_th=0.3)
     objs = multishape_objects()
-    params_by_obj, obj_params = {}, {}
-    for k, o in enumerate(obj_ids):
-        st = jax.device_get(unstack_state(stacked, k))
-        params_by_obj[o] = {"params": st.gen_params,
-                            "batch_stats": st.gen_stats}
+    obj_params = {}
+    for o in obj_ids:
         obj_params[o] = np.concatenate(
             [objs[o][2], np.zeros(3)]).astype(np.float32)
-    est = Pix2PoseEstimator(gen, ecfg.estimator(0))
+    est = Pix2PoseEstimator(gen, ecfg.estimator(0),
+                            pnp_stride=args.pnp_stride)
+
+    if args.diagnose:
+        # per-object decode-frame probe: median error of the generator's
+        # decoded XYZ vs the GT-rendered XYZ map under EACH symmetry-pool
+        # frame — separates "decode is garbage", "decode locked to the
+        # wrong/mixed symmetry frame", and "decode fine, PnP at fault"
+        from pix2pose_tpu.ops import rasterizer
+        from pix2pose_tpu.ops.color import color01_to_xyz as c2x
+
+        im_w_t, im_h_t = ds_test.im_size
+        cam0 = ds_test.scene_camera(0)[0]
+        rgb0 = jnp.asarray(ds_test.load_rgb(0, 0))
+        gt0 = ds_test.scene_gt(0)[0]
+        for o in obj_ids:
+            g = next(gg for gg in gt0 if gg["obj_id"] == o)
+            verts, faces, scale = objs[o][:3]
+            xyzmap = rasterizer.render_mesh(
+                verts, faces, verts, g["R"], g["t"], cam0["cam_K"],
+                im_h_t, im_w_t)
+            m = np.asarray(xyzmap.mask)
+            vu = np.where(m)
+            bbox = np.array([[vu[0].min(), vu[1].min(),
+                              vu[0].max(), vu[1].max()]], np.int32)
+            out = est(params_by_obj[o], rgb0, jnp.asarray(bbox),
+                      jnp.asarray([True]), jnp.asarray(cam0["cam_K"]),
+                      jnp.asarray(obj_params[o]), jax.random.PRNGKey(9))
+            from pix2pose_tpu.ops import crop as crop_ops
+
+            box2 = jax.tree_util.tree_map(lambda a: a[0], out.box2)
+            # NOTE: zeros (not NaN) outside the mask — the crop resample
+            # is matmul-based, so any NaN poisons the whole output
+            attr_np = np.where(m[..., None], np.asarray(xyzmap.attr), 0.0)
+            gt_xyz_crop = np.stack([np.asarray(crop_ops.crop_resize_2d(
+                jnp.asarray(attr_np[..., c]), box2, 128, False))
+                for c in range(3)], axis=-1)
+            mask_crop = np.asarray(crop_ops.crop_resize_2d(
+                jnp.asarray(m.astype(np.float32)), box2, 128,
+                False)) > 0.9  # interior only: edge pixels mix with bg 0
+            dec_mm = np.asarray(c2x(out.xyz128[0],
+                                    jnp.asarray(obj_params[o][:3]),
+                                    jnp.asarray(obj_params[o][3:])))
+            fg = np.asarray(out.fg128[0]) & mask_crop
+            pool = np.asarray(ds_test.symmetry_pool(o))
+            stats = []
+            per_px = []
+            for Rs in pool:
+                err = np.linalg.norm(dec_mm - gt_xyz_crop @ Rs.T,
+                                     axis=-1)
+                per_px.append(err)
+                stats.append(float(np.median(err[fg])) if fg.any()
+                             else float("nan"))
+            shares = ""
+            if len(pool) > 1 and fg.any():
+                nearest = np.argmin(np.stack(per_px), axis=0)
+                sh = [float((nearest[fg] == i).mean())
+                      for i in range(len(pool))]
+                shares = " share=" + "/".join(f"{x:.2f}" for x in sh)
+            print(f"[diag] obj {o}: fg={int(fg.sum())}px "
+                  f"med_err_mm per frame="
+                  + "/".join(f"{x:.1f}" for x in stats) + shares
+                  + f" pose_ok={bool(out.valid[0])} "
+                  f"terr={np.linalg.norm(np.asarray(out.t[0]) - g['t']):.1f}mm",
+                  flush=True)
     ev = BopEvaluator(ds_test, ecfg, est, params_by_obj, obj_params,
                       GtDetector(ds_test, jitter=3), max_det=4)
     results = ev.run(out_dir=os.path.join(root, "out"))
