@@ -105,7 +105,8 @@ def main():
     stores = [PatchStore.load(
         os.path.join(root, "shapes", "train_xyz", f"{o:02d}"), back_dir)
         for o in obj_ids]
-    pools = [np.asarray(ds_train.symmetry_pool(o)) for o in obj_ids]
+    from pix2pose_tpu.utils.symmetry import training_sym_pool
+    pools = [np.asarray(training_sym_pool(ds_train, o)) for o in obj_ids]
     print("symmetry pool sizes:", [p.shape[0] for p in pools])
     # per-object rotation locks from the pair renderer (continuous-sym
     # objects whose axis came camera-parallel in some view train with

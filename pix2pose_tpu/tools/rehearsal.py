@@ -137,6 +137,7 @@ def run_rehearsal(out_root=None, gan_steps=6000, det_steps=3000,
     from pix2pose_tpu.training.multi import (make_multi_step, stack_states,
                                              stack_stores, stack_sym_pools,
                                              unstack_state)
+    from pix2pose_tpu.utils.symmetry import training_sym_pool
 
     try:
         cpu = jax.devices("cpu")[0]
@@ -203,7 +204,7 @@ def run_rehearsal(out_root=None, gan_steps=6000, det_steps=3000,
     stacked = stack_states(states)
     stacked_store, n_valid = stack_stores([stores[o] for o in obj_ids])
     sym_pools = stack_sym_pools(
-        [np.asarray(ds_train.symmetry_pool(o)) for o in obj_ids])
+        [np.asarray(training_sym_pool(ds_train, o)) for o in obj_ids])
     full_rot = jnp.asarray([not locks[o] for o in obj_ids])
     step_fn = make_multi_step(gen, disc, cfg)
     key = jax.random.PRNGKey(1)

@@ -144,7 +144,8 @@ def train_objects(dataset: BopDataset, obj_ids: Sequence[int],
                 full_rot = not json.load(f).get("rotation_lock", False)
         stores.append(store)
         full_rots.append(full_rot)
-        pools.append(np.asarray(dataset.symmetry_pool(obj_id)))
+        from pix2pose_tpu.utils.symmetry import training_sym_pool
+        pools.append(np.asarray(training_sym_pool(dataset, obj_id)))
         state = create_train_state(jax.random.PRNGKey(obj_id), gen, disc,
                                    cfg)
         wdir = os.path.join(weight_root, f"{obj_id:02d}")

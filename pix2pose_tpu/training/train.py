@@ -80,7 +80,8 @@ def train_object(dataset: BopDataset, obj_id: int, back_dir: str,
         with open(meta_fn) as f:
             full_rot = not json.load(f).get("rotation_lock", False)
 
-    sym_pool = jnp.asarray(dataset.symmetry_pool(obj_id))
+    from pix2pose_tpu.utils.symmetry import training_sym_pool
+    sym_pool = jnp.asarray(training_sym_pool(dataset, obj_id))
     gen = AutoEncoder(backbone=cfg.backbone, dtype=cfg.jnp_dtype)
     disc = Discriminator(dtype=cfg.jnp_dtype)
     state = create_train_state(jax.random.PRNGKey(obj_id), gen, disc, cfg)

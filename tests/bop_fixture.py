@@ -148,8 +148,14 @@ def build_multishape_dataset(root, n_scenes=1, ims_per_scene=4,
     # base placements: prism sits BEHIND the cube with overlapping
     # silhouettes (occluded), octahedron clear on the left, cylinder
     # clear on the right
+    # the prism sits behind the cube's right edge: overlapping silhouettes
+    # but ~half visible. Its original spot ([65,-15,730], straight behind
+    # the cube) left it 12-45% visible in EVERY view — train medians 19%
+    # — which no occlusion-aware training can recover (the reference
+    # filters training views at visib_fract >= 0.5); measured e2e prism
+    # AR 0.0 across 6k/12k-step runs before the move.
     base_t = {1: np.array([15.0, 5.0, 620.0]),
-              2: np.array([65.0, -15.0, 730.0]),
+              2: np.array([105.0, -35.0, 700.0]),
               3: np.array([-130.0, -40.0, 650.0]),
               4: np.array([150.0, 40.0, 660.0])}
     rng = np.random.RandomState(seed)

@@ -53,3 +53,45 @@ def test_no_symmetry_passthrough():
     Rc, lock = canonicalize_sym_pose(R, None)
     np.testing.assert_array_equal(Rc, R)
     assert not lock
+
+
+def test_canonicalize_discrete_deterministic_and_consistent():
+    from pix2pose_tpu.utils.symmetry import canonicalize_discrete
+    from scipy.spatial.transform import Rotation
+
+    z180 = np.diag([-1.0, -1.0, 1.0])
+    pool = np.stack([np.eye(3), z180])
+    rng = np.random.RandomState(0)
+    for _ in range(50):
+        R = Rotation.random(random_state=rng).as_matrix()
+        Rc = canonicalize_discrete(R, pool)
+        # representative of the same equivalence class
+        assert (np.allclose(Rc, R) or np.allclose(Rc, R @ z180))
+        # appearance-equivalent poses map to the SAME canonical frame
+        Rc2 = canonicalize_discrete(R @ z180, pool)
+        np.testing.assert_allclose(Rc, Rc2, atol=1e-12)
+        # idempotent
+        np.testing.assert_allclose(canonicalize_discrete(Rc, pool), Rc,
+                                   atol=1e-12)
+
+
+def test_canonicalize_discrete_identity_pool_noop():
+    from pix2pose_tpu.utils.symmetry import canonicalize_discrete
+
+    R = np.eye(3)
+    out = canonicalize_discrete(R, np.eye(3)[None])
+    np.testing.assert_array_equal(out, R)
+
+
+def test_canonicalize_discrete_fourfold():
+    from pix2pose_tpu.utils.symmetry import canonicalize_discrete
+    from scipy.spatial.transform import Rotation
+
+    pool = np.stack([Rotation.from_euler("z", a, degrees=True).as_matrix()
+                     for a in (0, 90, 180, 270)])
+    rng = np.random.RandomState(1)
+    for _ in range(20):
+        R = Rotation.random(random_state=rng).as_matrix()
+        cans = [canonicalize_discrete(R @ T, pool) for T in pool]
+        for c in cans[1:]:  # whole orbit -> one representative (fp-tol)
+            np.testing.assert_allclose(c, cans[0], atol=1e-9)

@@ -94,3 +94,36 @@ def test_ab_e2e_overrides_and_mini_run(tmp_path):
     assert out["pass"] is True          # margin=1 always passes
     assert out["retrained"] is False    # estimator-only knob: one train
     assert -1.0 <= out["mean_delta"] <= 1.0
+
+
+def test_visual_sym_probe_filters_training_pool(tmp_path, monkeypatch):
+    """Banded (appearance-asymmetric) z180 prism -> identity-only
+    training pool; uniform-color prism -> full geometric pool kept."""
+    import bop_fixture
+    from bop_fixture import build_multishape_dataset
+    from pix2pose_tpu.utils.symmetry import training_sym_pool
+
+    root_a = str(tmp_path / "banded")
+    build_multishape_dataset(root_a, n_scenes=1, ims_per_scene=6,
+                             split="train")
+    ds_a = BopDataset(root_a, "shapes", train=True)
+    render_object_pairs(ds_a, 2)
+    with open(os.path.join(ds_a.dir, "train_xyz", "02",
+                           "meta.json")) as f:
+        meta = json.load(f)
+    assert meta["visual_sym_idx"] == [0], meta
+    assert training_sym_pool(ds_a, 2).shape[0] == 1
+    assert ds_a.symmetry_pool(2).shape[0] == 2  # eval keeps full pool
+
+    # zero-width band = uniform color = appearance IS z180-symmetric
+    monkeypatch.setitem(bop_fixture.SHAPE_BANDS, 2, (0.35, 0.35))
+    root_b = str(tmp_path / "uniform")
+    build_multishape_dataset(root_b, n_scenes=1, ims_per_scene=6,
+                             split="train")
+    ds_b = BopDataset(root_b, "shapes", train=True)
+    render_object_pairs(ds_b, 2)
+    with open(os.path.join(ds_b.dir, "train_xyz", "02",
+                           "meta.json")) as f:
+        meta_b = json.load(f)
+    assert meta_b["visual_sym_idx"] == [0, 1], meta_b
+    assert training_sym_pool(ds_b, 2).shape[0] == 2
