@@ -214,6 +214,16 @@ def render_object_pairs(ds: BopDataset, obj_id: int,
     visual_sym_idx = [0]
     if sym_pool.shape[0] > 1:
         visual_sym_idx = _probe_visual_sym(ds, obj_id, mesh, sym_pool)
+    # canonicalize over VISUAL symmetries only. Canonicalizing with a
+    # geometric-but-not-visual member cuts pose space at an arbitrary
+    # seam where two nearly-identical appearances get frame-flipped
+    # targets — measured on the rehearsal prism (full-circle train yaw):
+    # its RGB mspd collapsed 0.63 -> 0.03 when the seam landed in-domain,
+    # while the multishape prism (yaw within ±57°, seam never crossed)
+    # was unaffected. For visually-symmetric members the seam is
+    # invisible by definition, and collapsing their orbit is exactly
+    # what makes targets consistent.
+    canon_pool = sym_pool[visual_sym_idx]
 
     # pass 1: enumerate candidate views with visibility fractions — the
     # reference trains only on views with visib_fract >= 0.5
@@ -274,7 +284,7 @@ def render_object_pairs(ds: BopDataset, obj_id: int,
                 # discrete symmetry: deterministic pool representative so
                 # every view supervises ONE frame (see
                 # utils/symmetry.py:canonicalize_discrete)
-                R = canonicalize_discrete(R, sym_pool)
+                R = canonicalize_discrete(R, canon_pool)
                 any_lock = any_lock or lock
                 out = render(R.astype(np.float32), gt["t"],
                              cams[im_id]["cam_K"])
