@@ -182,7 +182,7 @@ def test_trained_instance_masks_separate_same_class_overlaps():
         return raw(state, make_detector_batch(store, key, 4, 128, 3), lr)
 
     key = jax.random.PRNGKey(1)
-    for i in range(400):
+    for i in range(600):
         key, kb = jax.random.split(key)
         state, parts = step_fn(state, store, kb,
                                2e-3 * min(1.0, (i + 1) / 50))
@@ -203,7 +203,11 @@ def test_trained_instance_masks_separate_same_class_overlaps():
         gv = np.where(gt_valid[b])[0]
         if len(gv) < 2:
             continue
-        keep = det.score[b] > 0.3
+        # relative keep: the 600-step tiny-trunk scores plateau around
+        # 0.2-0.3 (absolute 0.3 once filtered EVERYTHING and the test
+        # silently checked zero pairs); mask separation — the contract
+        # under test — does not depend on absolute confidence
+        keep = det.score[b] > max(0.15, 0.6 * float(det.score[b].max()))
         if keep.sum() < 2:
             continue
         dmask = det.mask[b]  # (K, hs, hs)
